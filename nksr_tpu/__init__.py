@@ -11,5 +11,11 @@ no-atomics compilation model.
 __version__ = "0.1.0"
 
 from .core import SparseGrid, SparseFeatureHierarchy
+from .recon import Reconstructor, get_estimate_normal_preprocess_fn
+from . import fields
+from . import configs
+from . import svh
 
-__all__ = ["SparseGrid", "SparseFeatureHierarchy", "__version__"]
+__all__ = ["SparseGrid", "SparseFeatureHierarchy", "Reconstructor",
+           "get_estimate_normal_preprocess_fn", "fields", "configs", "svh",
+           "__version__"]

@@ -1,0 +1,12 @@
+from .base import DatasetSpec, RandomSafeDataset, list_collate
+from .datasets import (ShapeNetDataset, AVDataset, MatterportDataset,
+                       PointCloudDataset, CombinedDataset, build_dataset)
+from .loader import PrefetchLoader, to_device_batch
+from .io import read_ply, read_ply_full, write_ply
+from . import transforms
+
+__all__ = ["DatasetSpec", "RandomSafeDataset", "list_collate",
+           "ShapeNetDataset", "AVDataset", "MatterportDataset",
+           "PointCloudDataset", "CombinedDataset", "build_dataset",
+           "PrefetchLoader", "to_device_batch", "read_ply", "read_ply_full",
+           "write_ply", "transforms"]

@@ -150,12 +150,19 @@ class Interpolators(nn.Module):
                          out=self.kernel_dim, name=f"interp_{d}")
                      for d in range(self.depth)]
 
+    def raw(self, d: int, x_loc: jnp.ndarray, feat: jnp.ndarray):
+        """Un-windowed basis: 1 + MLP(x_loc, feat) -> (..., K).
+
+        The constant 1 makes the untrained kernel a plain C1 bump RBF, so
+        the solve is well-posed from initialization.
+        """
+        return 1.0 + self.mlps[d](jnp.concatenate([x_loc, feat], axis=-1))
+
     def basis(self, d: int, x_loc: jnp.ndarray, feat: jnp.ndarray):
         """x_loc: (..., 3) in voxel units; feat: (..., Cb) -> (..., K)."""
         t = jnp.clip(1.0 - x_loc * x_loc, 0.0, None)
         window = jnp.prod(t * t, axis=-1)                  # C1 bump, w(0)=1
-        raw = 1.0 + self.mlps[d](jnp.concatenate([x_loc, feat], axis=-1))
-        return raw * window[..., None]
+        return self.raw(d, x_loc, feat) * window[..., None]
 
     def __call__(self, x_loc, feat):  # for init only
         return tuple(self.basis(d, x_loc, feat) for d in range(self.depth))
@@ -319,6 +326,14 @@ class NKSRNetwork(nn.Module):
                  gt_svh: Optional[SparseFeatureHierarchy],
                  use_gt_structure: bool,
                  dec_capacities: Sequence[int]):
+        if self.is_initializing():
+            # materialize params of submodules that are driven functionally
+            # by the fields layer (interpolators, sdf/udf decoders)
+            z3 = jnp.zeros((1, 3))
+            for d in range(self.tree_depth):
+                self.interpolators.basis(d, z3, jnp.zeros((1, self.basis_dim)))
+            self.sdf_decoder(jnp.zeros((1, self.basis_dim)))
+            self.udf_decoder(jnp.zeros((1, self.udf_dim)))
         feat0 = self.encoder(xyz, point_feat, point_mask, enc_svh.grids[0])
         out, dec_svh, udf_svh = self.unet(
             feat0, enc_svh, gt_svh, use_gt_structure, dec_capacities)

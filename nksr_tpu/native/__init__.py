@@ -1,0 +1,95 @@
+"""Native (C++) host-side runtime: kd-tree for eval metrics/preprocessing.
+
+Auto-builds ``libnksr_native.so`` with make/g++ on first import (analog of
+the reference's JIT extension loading, /root/reference/ext/__init__.py);
+falls back to scipy cKDTree if no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _DIR / "libnksr_native.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.kdtree_build.restype = ctypes.c_void_p
+    lib.kdtree_build.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                 ctypes.c_int64]
+    lib.kdtree_free.argtypes = [ctypes.c_void_p]
+    lib.kdtree_query.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    _LIB = lib
+    return _LIB
+
+
+class KDTree:
+    """CPU kd-tree (native if available, scipy fallback otherwise)."""
+
+    def __init__(self, points: np.ndarray):
+        self._pts = np.ascontiguousarray(points, np.float32)
+        lib = _load()
+        self._lib = lib
+        self._scipy = None
+        if lib is not None:
+            self._h = lib.kdtree_build(
+                self._pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._pts.shape[0])
+        else:
+            from scipy.spatial import cKDTree
+            self._scipy = cKDTree(self._pts)
+            self._h = None
+
+    def query(self, q: np.ndarray, k: int = 1,
+              n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (dist (m, k) float32, idx (m, k) int32); squeezed when
+        k == 1 stays 2-D for predictability."""
+        q = np.ascontiguousarray(q, np.float32)
+        m = q.shape[0]
+        if self._lib is not None:
+            d2 = np.empty((m, k), np.float32)
+            idx = np.empty((m, k), np.int32)
+            self._lib.kdtree_query(
+                self._h, q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                m, k, d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n_threads)
+            return np.sqrt(d2), idx
+        d, i = self._scipy.query(q, k=k)
+        d = d.reshape(m, k).astype(np.float32)
+        i = i.reshape(m, k).astype(np.int32)
+        return d, i
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._h:
+            self._lib.kdtree_free(self._h)
+            self._h = None
+
+
+def using_native() -> bool:
+    return _load() is not None

@@ -86,7 +86,7 @@ def gather_conv(feat: jnp.ndarray, nbr: jnp.ndarray,
     MXU-shaped matmuls, and XLA fuses the gather into each matmul.
     """
     k = nbr.shape[1]
-    out = jnp.zeros((feat.shape[0], weights.shape[-1]), feat.dtype)
+    out = jnp.zeros((nbr.shape[0], weights.shape[-1]), feat.dtype)
     for o in range(k):
         g = take_rows(feat, nbr[:, o])
         out = out + jnp.dot(g, weights[o],

@@ -1,0 +1,6 @@
+from .data_parallel import (make_mesh, shard_batch, replicate,
+                            dp_train_step)
+from . import spatial
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "dp_train_step",
+           "spatial"]

@@ -1,0 +1,196 @@
+"""Public reconstruction API: ``Reconstructor(...).reconstruct(...)``.
+
+Mirrors the reference's end-user contract
+(/root/reference/examples/recons_simple.py:25-27,
+/root/reference/examples/recons_waymo.py:30-37, NKSR-USAGE.md:128-137):
+
+    recon = Reconstructor()
+    field = recon.reconstruct(xyz, normal, detail_level=1.0)
+    mesh  = field.extract_dual_mesh(mise_iter=1)   # mesh.v / mesh.f / mesh.c
+
+Host-side orchestration only — capacity bucketing, detail-level heuristics,
+preprocessing and chunk scheduling; every hot op runs inside the jitted
+pipeline (models/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import pipeline as P
+from ..ops import knn as K
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(8, int(math.ceil(math.log2(max(n, 1)))))
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_forward(cfg: P.PipelineConfig):
+    def fn(params, xyz, mask, feat):
+        out = P.forward(cfg, params, xyz, mask, feat,
+                        gt_svh=None, use_gt_structure=False)
+        return out.field
+    return jax.jit(fn)
+
+
+class NetworkHandle:
+    """API-parity shim for ``reconstructor.network`` (movable ``.to``,
+    loadable state dict — /root/reference/NKSR-USAGE.md:164)."""
+
+    def __init__(self, cfg: P.PipelineConfig, params):
+        self.cfg = cfg
+        self.params = params
+
+    def to(self, device):
+        return self  # JAX manages placement; kept for API compatibility
+
+    def load_state_dict(self, state_dict):
+        from ..utils.checkpoint import torch_state_dict_to_params
+        self.params = torch_state_dict_to_params(self.cfg, state_dict,
+                                                 self.params)
+        return self
+
+
+class Reconstructor:
+    """Neural-kernel surface reconstruction engine.
+
+    ``device`` is accepted for API parity with the reference and ignored
+    (JAX places arrays on the default device/mesh).
+    """
+
+    def __init__(self, device=None, config: Optional[P.PipelineConfig] = None,
+                 params=None, seed: int = 0):
+        self.config = config or P.PipelineConfig()
+        if params is None:
+            params = P.init_params(self.config, jax.random.PRNGKey(seed))
+        self.network = NetworkHandle(self.config, params)
+        self.chunk_tmp_device = None  # parity attr; chunks park on host
+
+    # ------------------------------------------------------------------ api
+    def reconstruct(self, input_xyz, input_normal=None, *,
+                    sensor=None, detail_level: Optional[float] = 0.0,
+                    voxel_size: Optional[float] = None,
+                    chunk_size: Optional[float] = None,
+                    preprocess_fn: Optional[Callable] = None,
+                    approx_kernel_grad: bool = False,
+                    solver_tol: float = 1e-5,
+                    solver_max_iters: Optional[int] = None,
+                    fused_mode: bool = False,
+                    structure: Optional[str] = None,
+                    mise_iter: int = 0):
+        xyz = np.asarray(input_xyz, np.float32)
+        normal = None if input_normal is None else np.asarray(
+            input_normal, np.float32)
+        sens = None if sensor is None else np.asarray(sensor, np.float32)
+
+        if preprocess_fn is not None:
+            xyz, normal, sens = preprocess_fn(xyz, normal, sens)
+            xyz = np.asarray(xyz, np.float32)
+            normal = None if normal is None else np.asarray(normal,
+                                                            np.float32)
+
+        if chunk_size is not None:
+            if voxel_size is not None or (detail_level or 0.0) != 0.0:
+                # matches the reference restriction (NKSR-USAGE.md:137)
+                raise ValueError(
+                    "detail tuning is not supported in chunk mode; "
+                    "prescale your cloud instead")
+            from .chunking import reconstruct_chunked
+            return reconstruct_chunked(self, xyz, normal, sens, chunk_size,
+                                       approx_kernel_grad=approx_kernel_grad,
+                                       solver_tol=solver_tol)
+
+        vs = self._pick_voxel_size(xyz, detail_level, voxel_size)
+        cfg = self._runtime_config(
+            xyz.shape[0], xyz, vs, approx_kernel_grad, solver_tol,
+            solver_max_iters,
+            feature="normal" if normal is not None else "sensor")
+        if structure is not None:
+            cfg = dataclasses.replace(cfg, structure_mode=structure)
+
+        n = xyz.shape[0]
+        cap_pts = _next_pow2(n)
+        pad = cap_pts - n
+        xyz_p = np.pad(xyz, ((0, pad), (0, 0)))
+        mask = np.zeros(cap_pts, bool)
+        mask[:n] = True
+        feat = P.point_features(
+            cfg, jnp.asarray(xyz_p),
+            normal=None if normal is None else jnp.asarray(
+                np.pad(normal, ((0, pad), (0, 0)))),
+            sensor=None if sens is None else jnp.asarray(
+                np.pad(sens, ((0, pad), (0, 0)))))
+
+        fwd = _compiled_forward(cfg)
+        field = fwd(self.network.params, jnp.asarray(xyz_p),
+                    jnp.asarray(mask), feat)
+        return field
+
+    # -------------------------------------------------------------- helpers
+    def _pick_voxel_size(self, xyz: np.ndarray,
+                         detail_level: Optional[float],
+                         voxel_size: Optional[float]) -> float:
+        """detail_level/voxel_size semantics (NKSR-USAGE.md:128-137):
+        voxel_size wins; detail_level in [0, 1] sweeps coarse -> fine around
+        the sampling density; None means the network's native scale."""
+        if voxel_size is not None:
+            return float(voxel_size)
+        if detail_level is None:
+            return self.config.voxel_size
+        sub = xyz[:: max(1, xyz.shape[0] // 5000)]
+        from scipy.spatial import cKDTree  # host-side heuristic only
+        d, _ = cKDTree(sub).query(sub, k=2)
+        spacing = float(np.median(d[:, 1])) + 1e-9
+        lo, hi = 1.5 * spacing, 6.0 * spacing
+        return float(hi * (1 - detail_level) + lo * detail_level)
+
+    def _runtime_config(self, n_pts: int, xyz: np.ndarray, vs: float,
+                        approx_kernel_grad: bool, solver_tol: float,
+                        solver_max_iters: Optional[int],
+                        feature: str) -> P.PipelineConfig:
+        # capacity estimate: unique occupied voxels x8-corner splat
+        sub = xyz[:: max(1, xyz.shape[0] // 200000)]
+        occ = len(np.unique(np.floor(sub / vs).astype(np.int64), axis=0))
+        occ = int(occ * xyz.shape[0] / max(len(sub), 1) ** 1.0)
+        est0 = min(8 * occ, 8 * n_pts)
+        caps = []
+        c = _next_pow2(int(est0 * 1.3))
+        for _ in range(self.config.tree_depth):
+            caps.append(max(c, 512))
+            c //= 2
+        return dataclasses.replace(
+            self.config, voxel_size=vs, capacities=tuple(caps),
+            approx_kernel_grad=approx_kernel_grad, solver_tol=solver_tol,
+            solver_max_iters=solver_max_iters or self.config.solver_max_iters,
+            feature=feature)
+
+
+def get_estimate_normal_preprocess_fn(knn: int = 64,
+                                      max_angle_deg: float = 85.0):
+    """Reference-parity preprocess factory (NKSR-USAGE.md:109; algorithm
+    from /root/reference/examples/recons_waymo_cpu.py:21-41)."""
+
+    def fn(xyz, normal, sensor):
+        assert normal is None, "normals already provided"
+        assert sensor is not None, "sensor positions required"
+        xyz_j = jnp.asarray(np.asarray(xyz, np.float32))
+        sens_j = jnp.asarray(np.asarray(sensor, np.float32))
+        n = xyz_j.shape[0]
+        cell = K.estimate_cell_size(np.asarray(xyz), knn)
+        cap = _next_pow2(n)
+        nrm, keep = K.estimate_normals(
+            xyz_j, jnp.ones(n, bool), knn, cell, cap,
+            max_per_cell=max(2 * knn // 9, 8), sensor=sens_j,
+            max_angle_deg=max_angle_deg)
+        keep_np = np.asarray(keep)
+        return (np.asarray(xyz_j)[keep_np], np.asarray(nrm)[keep_np], None)
+
+    return fn

@@ -1,0 +1,70 @@
+"""Dual marching cubes tests on an analytically known surface (sphere)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nksr_tpu.fields import LayerField
+from nksr_tpu.meshing.dual_mc import extract_dual_mesh
+
+from test_field import make_field, solve_sphere, sphere_points
+
+
+@pytest.fixture(scope="module")
+def sphere_field():
+    xyz, nrm = sphere_points(3000, r=0.5, seed=11)
+    field = make_field(xyz)
+    field = solve_sphere(field, xyz, nrm, solver_tol=1e-6, max_iters=300)
+    return field.set_mask_field(LayerField(field.svh, 1))
+
+
+class TestDualMC:
+    def test_sphere_mesh(self, sphere_field):
+        mesh = extract_dual_mesh(sphere_field, mise_iter=0)
+        assert mesh.v.shape[0] > 100
+        assert mesh.f.shape[0] > 100
+        assert mesh.f.max() < mesh.v.shape[0]
+        # vertices used by faces lie near the sphere
+        used = np.unique(mesh.f)
+        r = np.linalg.norm(mesh.v[used], axis=1)
+        assert np.abs(r - 0.5).mean() < 0.05
+        assert np.abs(r - 0.5).max() < 0.15
+
+    def test_mise_refinement_improves(self, sphere_field):
+        m0 = extract_dual_mesh(sphere_field, mise_iter=0)
+        m2 = extract_dual_mesh(sphere_field, mise_iter=2)
+        u0, u2 = np.unique(m0.f), np.unique(m2.f)
+        e0 = np.abs(np.linalg.norm(m0.v[u0], axis=1) - 0.5).mean()
+        e2 = np.abs(np.linalg.norm(m2.v[u2], axis=1) - 0.5).mean()
+        assert e2 <= e0 * 1.05  # refinement should not hurt
+
+    def test_orientation_outward(self, sphere_field):
+        mesh = extract_dual_mesh(sphere_field, mise_iter=1)
+        v, f = mesh.v, mesh.f
+        tri = v[f]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        area = np.linalg.norm(n, axis=1)
+        ok = area > 1e-12
+        n = n[ok] / area[ok][:, None]
+        centers = tri[ok].mean(1)
+        dots = (n * centers / np.linalg.norm(centers, axis=1,
+                                             keepdims=True)).sum(1)
+        # consistent outward orientation
+        assert (dots > 0).mean() > 0.95, (dots > 0).mean()
+
+    def test_mostly_watertight(self, sphere_field):
+        mesh = extract_dual_mesh(sphere_field, mise_iter=0)
+        f = mesh.f
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        # closed surface: every edge shared by exactly 2 triangles
+        assert (counts == 2).mean() > 0.99, (counts == 2).mean()
+
+    def test_grid_upsample(self, sphere_field):
+        m1 = extract_dual_mesh(sphere_field, grid_upsample=1)
+        m2 = extract_dual_mesh(sphere_field, grid_upsample=2)
+        assert m2.v.shape[0] > 2 * m1.v.shape[0]
+        u2 = np.unique(m2.f)
+        r = np.linalg.norm(m2.v[u2], axis=1)
+        assert np.abs(r - 0.5).mean() < 0.04
