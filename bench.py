@@ -42,16 +42,19 @@ def main():
     xyz, nrm = synthetic_scene(n)
     recon = Reconstructor()
 
+    # structure='splat' keeps the full surface shell active — the
+    # representative (worst-case) workload independent of training state
+    kw = dict(detail_level=None, voxel_size=0.1, solver_tol=1e-4,
+              solver_max_iters=32, structure="splat")
+
     # warmup (compile)
-    f = recon.reconstruct(xyz, nrm, detail_level=None, voxel_size=0.1,
-                          solver_tol=1e-4, solver_max_iters=32)
+    f = recon.reconstruct(xyz, nrm, **kw)
     jax.block_until_ready(f.alpha)
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        f = recon.reconstruct(xyz, nrm, detail_level=None, voxel_size=0.1,
-                              solver_tol=1e-4, solver_max_iters=32)
+        f = recon.reconstruct(xyz, nrm, **kw)
         jax.block_until_ready(f.alpha)
     dt = (time.perf_counter() - t0) / reps
 

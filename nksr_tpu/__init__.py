@@ -10,6 +10,21 @@ no-atomics compilation model.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: our static-shape graphs contain many
+# large sorts whose (remote) TPU compiles take minutes; the cache makes
+# every repeated shape free.  Opt out with NKSR_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("NKSR_TPU_NO_COMPILE_CACHE"):
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           _os.path.expanduser("~/.cache/nksr_tpu_xla"))
+    try:
+        import jax as _jax
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:
+        pass
+
 from .core import SparseGrid, SparseFeatureHierarchy
 from .recon import Reconstructor, get_estimate_normal_preprocess_fn
 from . import fields

@@ -1,0 +1,154 @@
+"""Host-side (numpy) construction of SVH structures and index tables.
+
+Why this exists: the device pipeline is a static-shape XLA program, and
+every *structure* operation (voxel dedup, membership lookup) is a sort —
+but XLA:TPU sort compile time grows linearly with size and ~4x with
+operand count (measured: a 1M-row 4-operand sort costs ~105 s of compile),
+so graphs with multi-million-row sorts take many minutes to build.  The
+host, meanwhile, dedups/searches int64 keys at memory speed via numpy.
+
+So for inference we split the work by what each side is good at:
+  * host: build the hierarchy + every index table (neighbor/child tables,
+    basis-support indices for solve rows and query points) — all
+    non-differentiable integer work;
+  * device: one sort-free jit of pure dense math (convs, interpolator
+    MLPs, PCG) that compiles in seconds and runs on the MXU.
+
+The in-graph builders (core/svh.py) remain the path for fully-traced
+training steps and CPU tests; results agree exactly (same convention).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import coords as C
+from .grid import SparseGrid
+from .svh import SparseFeatureHierarchy
+
+_OFFS2 = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
+                  -1).reshape(8, 3).astype(np.int64)
+
+
+def pack64(coords: np.ndarray) -> np.ndarray:
+    c = coords.astype(np.int64) + (1 << 20)
+    return (c[..., 0] << 42) | (c[..., 1] << 21) | c[..., 2]
+
+
+def unpack64(keys: np.ndarray) -> np.ndarray:
+    i = (keys >> 42) - (1 << 20)
+    j = ((keys >> 21) & ((1 << 21) - 1)) - (1 << 20)
+    k = (keys & ((1 << 21) - 1)) - (1 << 20)
+    return np.stack([i, j, k], -1).astype(np.int32)
+
+
+class HostGrid(NamedTuple):
+    coords: np.ndarray   # (n, 3) int32, sorted by our 2-word key order
+    keys: np.ndarray     # (n,) int64 sorted
+    voxel_size: float
+
+
+def _sorted_unique(coords: np.ndarray) -> HostGrid:
+    keys = np.unique(pack64(coords))
+    return HostGrid(coords=unpack64(keys), keys=keys, voxel_size=0.0)
+
+
+def lookup(grid: HostGrid, coords: np.ndarray) -> np.ndarray:
+    """Index of each coord in the sorted grid, -1 if absent.
+
+    Uses the multithreaded native key search when available (numpy's
+    searchsorted is single-threaded and dominates table builds at
+    multi-million-point scale)."""
+    from ..native import keysearch
+    return keysearch(grid.keys, pack64(coords))
+
+
+def build_splat_grids(xyz: np.ndarray, voxel_size: float,
+                      depth: int) -> List[HostGrid]:
+    """Point-splat hierarchy (same convention as SVH.build_point_splatting:
+    the 8 voxel centers around each point, per level)."""
+    grids = []
+    for d in range(depth):
+        vs = voxel_size * (2.0 ** d)
+        # matches grid.point_splat_coords: base = floor(x/vs), corners
+        # base + {0,1}^3
+        base = np.floor(xyz / vs).astype(np.int64)
+        corners = (base[:, None, :] + _OFFS2[None]).reshape(-1, 3)
+        g = _sorted_unique(corners)
+        grids.append(HostGrid(g.coords, g.keys, vs))
+    return grids
+
+
+def to_device_svh(grids: Sequence[HostGrid], capacities: Sequence[int],
+                  voxel_size: float) -> SparseFeatureHierarchy:
+    """Upload host grids as a capacity-padded device hierarchy."""
+    import jax.numpy as jnp
+    out = []
+    for g, cap in zip(grids, capacities):
+        n = min(len(g.keys), cap)
+        coords = np.zeros((cap, 3), np.int32)
+        coords[:n] = g.coords[:n]
+        hi = np.full(cap, 0xFFFFFFFF, np.uint32)
+        lo = np.full(cap, 0xFFFFFFFF, np.uint32)
+        ci = g.coords[:n].astype(np.int64) + (1 << 15)
+        hi[:n] = ((ci[:, 0] << 16) | ci[:, 1]).astype(np.uint32)
+        lo[:n] = ci[:, 2].astype(np.uint32)
+        out.append(SparseGrid(
+            key_hi=jnp.asarray(hi), key_lo=jnp.asarray(lo),
+            coords=jnp.asarray(coords),
+            num_voxels=jnp.asarray(n, jnp.int32),
+            voxel_size=jnp.asarray(g.voxel_size, jnp.float32),
+            origin=jnp.zeros((3,), jnp.float32)))
+    return SparseFeatureHierarchy(grids=tuple(out),
+                                  voxel_size=jnp.asarray(voxel_size,
+                                                         jnp.float32))
+
+
+class UNetTables(NamedTuple):
+    """Index tables consumed by SparseUNet (all device arrays)."""
+    nbr: Tuple          # per level: (cap, 27) int32
+    child: Tuple        # per level d: (cap_{d+1}, 8) indices into level d
+
+
+def build_unet_tables(grids: Sequence[HostGrid],
+                      capacities: Sequence[int],
+                      stencil: np.ndarray) -> UNetTables:
+    import jax.numpy as jnp
+    nbr, child = [], []
+    for d, g in enumerate(grids):
+        cap = capacities[d]
+        n = min(len(g.keys), cap)
+        t = np.full((cap, stencil.shape[0]), -1, np.int32)
+        q = (g.coords[:n, None, :].astype(np.int64)
+             + stencil[None].astype(np.int64)).reshape(-1, 3)
+        idx = lookup(g, q).reshape(n, stencil.shape[0])
+        t[:n] = np.where(idx < cap, idx, -1)
+        nbr.append(jnp.asarray(t))
+    for d in range(len(grids) - 1):
+        fine, coarse = grids[d], grids[d + 1]
+        cap_c, cap_f = capacities[d + 1], capacities[d]
+        n = min(len(coarse.keys), cap_c)
+        q = (coarse.coords[:n, None, :].astype(np.int64) * 2
+             + _OFFS2[None]).reshape(-1, 3)
+        idx = lookup(fine, q).reshape(n, 8)
+        t = np.full((cap_c, 8), -1, np.int32)
+        t[:n] = np.where(idx < cap_f, idx, -1)
+        child.append(jnp.asarray(t))
+    return UNetTables(nbr=tuple(nbr), child=tuple(child))
+
+
+def support_indices(grids: Sequence[HostGrid], capacities: Sequence[int],
+                    x: np.ndarray) -> Tuple:
+    """Per-depth (Q, 8) indices of each query's 8 surrounding voxel
+    centers (the field's basis support) — host counterpart of the lookup
+    inside fields.support.depth_support."""
+    import jax.numpy as jnp
+    out = []
+    for g, cap in zip(grids, capacities):
+        base = np.floor(x / g.voxel_size).astype(np.int64)
+        corners = (base[:, None, :] + _OFFS2[None]).reshape(-1, 3)
+        idx = lookup(g, corners).reshape(x.shape[0], 8)
+        out.append(jnp.asarray(np.where(idx < cap, idx, -1)))
+    return tuple(out)

@@ -63,17 +63,22 @@ class KernelField:
                         normal_value: jnp.ndarray,
                         reg_weight: float = 1.0,
                         solver_tol: float = 1e-5,
-                        max_iters: int = 128) -> "KernelField":
+                        max_iters: int = 128,
+                        pos_sup_idx=None,
+                        normal_sup_idx=None) -> "KernelField":
         """Fit coefficients.  ``pos_w``/``normal_w`` are per-row weights
         (0 for padding rows); reference computes them as
         pos_weight/N and normal_weight/M * voxel_size^2
-        (/root/reference/models/nksr_net.py:103-111)."""
+        (/root/reference/models/nksr_net.py:103-111).  ``*_sup_idx`` are
+        optional host-precomputed support index tables
+        (core/host_build.support_indices) that keep the graph sort-free."""
         shapes = self._shapes()
         sup_v = S.svh_support(self.svh, self.features, self.interp, pos_xyz,
-                              grad=False)
+                              grad=False, sup_idx=pos_sup_idx)
         sup_g = S.svh_support(self.svh, self.features, self.interp,
                               normal_xyz, grad=True,
-                              approx_grad=self.approx_kernel_grad)
+                              approx_grad=self.approx_kernel_grad,
+                              sup_idx=normal_sup_idx)
 
         # rhs = A_g^T W_g t  (value rows have target 0)
         rhs = S.scatter_rows(sup_g, shapes,
@@ -107,9 +112,11 @@ class KernelField:
     solve = solve_non_fused
 
     # ----------------------------------------------------------- evaluation
-    def evaluate_f(self, x: jnp.ndarray, grad: bool = False) -> FieldEval:
+    def evaluate_f(self, x: jnp.ndarray, grad: bool = False,
+                   sup_idx=None) -> FieldEval:
         sup = S.svh_support(self.svh, self.features, self.interp, x,
-                            grad=grad, approx_grad=self.approx_kernel_grad)
+                            grad=grad, approx_grad=self.approx_kernel_grad,
+                            sup_idx=sup_idx)
         if grad:
             v, g = S.predict(sup, self.alpha, grad=True)
             return FieldEval(value=v, gradient=g)

@@ -46,13 +46,20 @@ class NeuralField:
     texture_field: Optional[Any] = None
 
     def _pooled(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = 0.0
+        from ..core import coords as C
+        sets, queries, weights = [], [], []
         for d in range(self.svh.depth):
             g = self.svh.grids[d]
             corner, w = point_splat_coords(g, x)
-            idx = g.lookup(corner.reshape(-1, 3)).reshape(corner.shape[:2])
+            sets.append((g.key_hi, g.key_lo, g.num_voxels))
+            queries.append(C.pack(corner.reshape(-1, 3)))
+            weights.append(w)
+        idxs = C.multi_search_sorted(sets, queries)
+        h = 0.0
+        for d in range(self.svh.depth):
+            idx = idxs[d].reshape(x.shape[0], 8)
             f = take_rows(self.features[d], idx)
-            w = jnp.where(idx >= 0, w, 0.0)
+            w = jnp.where(idx >= 0, weights[d], 0.0)
             h = h + jnp.einsum("qs,qsc->qc", w, f)
         return h
 
@@ -104,12 +111,18 @@ class LayerField:
     adaptive_depth: int = struct.field(pytree_node=False, default=1)
 
     def evaluate_mask(self, x: jnp.ndarray) -> jnp.ndarray:
-        inside = jnp.zeros(x.shape[0], bool)
+        from ..core import coords as C
+        sets, queries = [], []
         for d in range(self.svh.depth):
             g = self.svh.grids[d]
             corner, _ = point_splat_coords(g, x)
-            idx = g.lookup(corner.reshape(-1, 3)).reshape(corner.shape[:2])
-            inside = inside | jnp.any(idx >= 0, axis=-1)
+            sets.append((g.key_hi, g.key_lo, g.num_voxels))
+            queries.append(C.pack(corner.reshape(-1, 3)))
+        idxs = C.multi_search_sorted(sets, queries)
+        inside = jnp.zeros(x.shape[0], bool)
+        for d in range(self.svh.depth):
+            inside = inside | jnp.any(
+                idxs[d].reshape(x.shape[0], 8) >= 0, axis=-1)
         return jnp.where(inside, 1.0, -1.0)
 
     def evaluate_f(self, x: jnp.ndarray, grad: bool = False) -> FieldEval:

@@ -63,10 +63,12 @@ class DepthSupport(NamedTuple):
 def depth_support(grid: SparseGrid, features: jnp.ndarray,
                   interp: InterpolatorFn, d: int, x: jnp.ndarray,
                   grad: bool = False,
-                  approx_grad: bool = False) -> DepthSupport:
+                  approx_grad: bool = False,
+                  idx: Optional[jnp.ndarray] = None) -> DepthSupport:
     """Support of (Q, 3) world points at one hierarchy depth."""
     corner, _ = point_splat_coords(grid, x)            # (Q, 8, 3) int
-    idx = grid.lookup(corner.reshape(-1, 3)).reshape(corner.shape[:2])
+    if idx is None:
+        idx = grid.lookup(corner.reshape(-1, 3)).reshape(corner.shape[:2])
     centers = grid.grid_to_world(corner)
     x_loc = (x[:, None, :] - centers) / grid.voxel_size  # (Q, 8, 3)
     feat = take_rows(features, idx)                     # (Q, 8, Cb)
@@ -100,10 +102,29 @@ def depth_support(grid: SparseGrid, features: jnp.ndarray,
 
 def svh_support(svh: SparseFeatureHierarchy, features: Tuple[jnp.ndarray, ...],
                 interp: InterpolatorFn, x: jnp.ndarray, grad: bool = False,
-                approx_grad: bool = False) -> Tuple[DepthSupport, ...]:
+                approx_grad: bool = False,
+                sup_idx: Optional[Tuple[jnp.ndarray, ...]] = None
+                ) -> Tuple[DepthSupport, ...]:
+    from ..core import coords as C
+
+    if sup_idx is None:
+        # one segmented sort-join for all depths' corner lookups (each big
+        # sort program costs minutes of TPU compile; see
+        # coords.multi_search_sorted).  Callers on the host-orchestrated
+        # path pass precomputed ``sup_idx`` instead (core/host_build.py),
+        # making the device graph sort-free.
+        sets, queries = [], []
+        for d in range(svh.depth):
+            g = svh.grids[d]
+            corner, _ = point_splat_coords(g, x)
+            sets.append((g.key_hi, g.key_lo, g.num_voxels))
+            queries.append(C.pack(corner.reshape(-1, 3)))
+        idxs = C.multi_search_sorted(sets, queries)
+        sup_idx = tuple(idxs[d].reshape(x.shape[0], 8)
+                        for d in range(svh.depth))
     return tuple(
         depth_support(svh.grids[d], features[d], interp, d, x, grad,
-                      approx_grad)
+                      approx_grad, idx=sup_idx[d])
         for d in range(svh.depth))
 
 

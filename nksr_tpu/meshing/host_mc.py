@@ -1,0 +1,151 @@
+"""Host-orchestrated sparse dual marching cubes.
+
+Same algorithm as dual_mc.py, but the *structure* half (extraction
+lattice, corner dedup, edge topology) runs in numpy on the host while the
+*math* half (field values/gradients) runs in fixed-shape, sort-free device
+batches (see core/host_build.py for the rationale).  Used by
+recon.host_field.HostField.extract_dual_mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..core import host_build as HB
+from .dual_mc import TriangleMesh, _CORNER_OFFS, _EDGES
+
+_QUAD_VOX_OFFS = np.array([
+    [[0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]],   # x-edge
+    [[0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]],   # y-edge
+    [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],   # z-edge
+], dtype=np.int64)
+
+
+def extraction_lattice_host(host_grids, adaptive_depth: int,
+                            grid_upsample: int = 1) -> np.ndarray:
+    """Union of adaptive-depth voxels at finest*upsample resolution,
+    dilated one face-ring (so near-boundary crossings keep their quads)."""
+    u = max(int(grid_upsample), 1)
+    parts = []
+    for d in range(adaptive_depth):
+        g = host_grids[d]
+        f = (2 ** d) * u
+        if f == 1:
+            parts.append(g.coords.astype(np.int64))
+        else:
+            r = np.arange(f) - (f - 1) // 2
+            offs = np.stack(np.meshgrid(r, r, r, indexing="ij"),
+                            -1).reshape(-1, 3).astype(np.int64)
+            parts.append((g.coords.astype(np.int64)[:, None, :] * f
+                          + offs[None]).reshape(-1, 3))
+    base = np.concatenate(parts, 0)
+    d6 = np.concatenate([np.eye(3, dtype=np.int64),
+                         -np.eye(3, dtype=np.int64),
+                         np.zeros((1, 3), np.int64)])
+    base = (base[:, None, :] + d6[None]).reshape(-1, 3)
+    return HB.unpack64(np.unique(HB.pack64(base))).astype(np.int64)
+
+
+def host_extract_dual_mesh(hf, mise_iter: int = 0,
+                           grid_upsample: int = 1) -> TriangleMesh:
+    u = max(int(grid_upsample), 1)
+    s = hf.host_grids[0].voxel_size / u
+    vox = extraction_lattice_host(hf.host_grids, hf.adaptive_depth, u)
+
+    def eval_fbar(pts):
+        f = hf._eval_batched(pts)
+        m = hf._mask_host(pts)
+        return np.where(m, f, -hf.host_grids[0].voxel_size).astype(
+            np.float32)
+
+    eval_grad = (lambda pts: hf._eval_batched(pts, grad=True)) \
+        if mise_iter else None
+    return dual_mc_on_lattice(vox, s, eval_fbar, eval_grad, mise_iter,
+                              texture=getattr(hf.field, "texture_field",
+                                              None))
+
+
+def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
+                       eval_grad=None, mise_iter: int = 0,
+                       texture=None) -> TriangleMesh:
+    """Core dual-MC given an int64 lattice and field evaluators."""
+    V = len(vox)
+    if V == 0:
+        return TriangleMesh(np.zeros((0, 3), np.float32),
+                            np.zeros((0, 3), np.int32), None)
+    vox_keys = HB.pack64(vox)
+    neg_default = -abs(s)
+
+    # ---- unique corner lattice
+    corner_offs = _CORNER_OFFS.astype(np.int64)
+    vox_corners = vox[:, None, :] + corner_offs[None]      # (V, 8, 3)
+    corner_keys = np.unique(HB.pack64(vox_corners.reshape(-1, 3)))
+    cc = HB.unpack64(corner_keys).astype(np.int64)         # (Q, 3)
+    corner_grid = HB.HostGrid(coords=cc.astype(np.int32), keys=corner_keys,
+                              voxel_size=s)
+
+    def corner_world(c):
+        return ((c.astype(np.float32) - 0.5) * s)
+
+    # ---- field at corners (device, batched, sort-free)
+    f_corner = np.asarray(eval_fbar(corner_world(cc)), np.float32)
+
+    # per-voxel corner values
+    cidx = HB.lookup(corner_grid, vox_corners.reshape(-1, 3)).reshape(V, 8)
+    fvals = f_corner[np.maximum(cidx, 0)]
+    fvals = np.where(cidx >= 0, fvals, neg_default)
+
+    # ---- dual vertices: mean of edge crossings
+    ea, eb = _EDGES[:, 0], _EDGES[:, 1]
+    fa, fb = fvals[:, ea], fvals[:, eb]
+    cross = (fa > 0) != (fb > 0)
+    t = fa / (fa - fb + 1e-20)
+    pa = corner_world(vox_corners[:, ea])
+    pb = corner_world(vox_corners[:, eb])
+    pc = pa + t[..., None] * (pb - pa)
+    w = cross.astype(np.float32)
+    centers = vox.astype(np.float32) * s
+    wsum = w.sum(1, keepdims=True)
+    verts = np.where(wsum > 0,
+                     (pc * w[..., None]).sum(1) / np.maximum(wsum, 1e-20),
+                     centers).astype(np.float32)
+
+    # ---- Newton refinement toward the zero set
+    for _ in range(int(mise_iter) if eval_grad is not None else 0):
+        v, g = eval_grad(verts)
+        step = v[:, None] * g / (np.sum(g * g, 1, keepdims=True) + 1e-12)
+        verts = verts - np.clip(step, -0.5 * s, 0.5 * s)
+        verts = np.clip(verts, centers - 0.5 * s, centers + 0.5 * s)
+
+    # ---- quads over sign-changing corner edges
+    tris = []
+    vox_grid = HB.HostGrid(coords=vox.astype(np.int32), keys=vox_keys,
+                           voxel_size=s)
+    sign = f_corner > 0
+    for a in range(3):
+        nb = HB.lookup(corner_grid, cc + np.eye(3, dtype=np.int64)[a])
+        f1 = np.where(nb >= 0, f_corner[np.maximum(nb, 0)], neg_default)
+        change = (sign != (f1 > 0))
+        rows = np.nonzero(change)[0]
+        if len(rows) == 0:
+            continue
+        quad_vox = cc[rows][:, None, :] - _QUAD_VOX_OFFS[a][None]
+        vidx = HB.lookup(vox_grid, quad_vox.reshape(-1, 3)).reshape(-1, 4)
+        ok = (vidx >= 0).all(1)
+        vidx = vidx[ok]
+        flip = ~sign[rows][ok]
+        vidx = np.where(flip[:, None], vidx[:, ::-1], vidx)
+        tris.append(vidx[:, [0, 1, 2]])
+        tris.append(vidx[:, [0, 2, 3]])
+    if not tris:
+        return TriangleMesh(verts, np.zeros((0, 3), np.int32), None)
+    f = np.concatenate(tris, 0).astype(np.int32)
+
+    colors = None
+    if texture is not None:
+        import jax.numpy as jnp
+        colors = np.asarray(texture.evaluate_f(jnp.asarray(verts)).value)
+
+    return TriangleMesh(v=verts, f=f, c=colors)

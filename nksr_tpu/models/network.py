@@ -107,10 +107,12 @@ class PointEncoder(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, xyz, point_feat, point_mask, grid: SparseGrid):
+    def __call__(self, xyz, point_feat, point_mask, grid: SparseGrid,
+                 splat_idx=None):
         n = xyz.shape[0]
         corner, w = point_splat_coords(grid, xyz)          # (N,8,3), (N,8)
-        idx = grid.lookup(corner.reshape(-1, 3)).reshape(n, 8)
+        idx = splat_idx if splat_idx is not None else \
+            grid.lookup(corner.reshape(-1, 3)).reshape(n, 8)
         centers = grid.grid_to_world(corner)               # (N,8,3)
         offset = (xyz[:, None, :] - centers) / grid.voxel_size
         pf = point_feat if point_feat is not None else jnp.zeros((n, 0))
@@ -192,27 +194,44 @@ class SparseUNet(nn.Module):
     def __call__(self, feat0: jnp.ndarray, enc_svh: SparseFeatureHierarchy,
                  gt_svh: Optional[SparseFeatureHierarchy],
                  use_gt_structure: bool,
-                 dec_capacities: Sequence[int]):
+                 dec_capacities: Sequence[int],
+                 tables=None):
         D = self.depth
         stencil = gs.stencil_offsets(3)
+
+        # all encoder-hierarchy lookup tables in one segmented sort-join —
+        # or host-precomputed (core/host_build.build_unet_tables), making
+        # the graph sort-free; memoized per grid object so decoder levels
+        # sharing an encoder grid (teacher forcing with the splat
+        # hierarchy) reuse them
+        if tables is not None:
+            enc_nbr, enc_child = tables.nbr, tables.child
+        else:
+            enc_nbr, enc_child = gs.svh_tables(enc_svh.grids, stencil)
+        nbr_cache = {id(g.key_hi): t
+                     for g, t in zip(enc_svh.grids, enc_nbr)}
+
+        def get_nbr(grid):
+            key = id(grid.key_hi)
+            if key not in nbr_cache:
+                nbr_cache[key] = gs.neighbor_table(grid, stencil)
+            return nbr_cache[key]
 
         # ---------------------------------------------------- encoder path
         enc_feats = []
         f = feat0
         for d in range(D):
             g_d = enc_svh.grids[d]
-            nbr = gs.neighbor_table(g_d, stencil)
             f = ConvBlock(self.f_maps, name=f"enc_{d}")(
-                f, nbr, g_d.active_mask())
+                f, enc_nbr[d], g_d.active_mask())
             enc_feats.append(f)
             if d < D - 1:
                 # stride-2 down conv: each parent gathers its 8 children
-                ct = gs.child_table(enc_svh.grids[d + 1], g_d)
                 w = self.param(f"down_{d}", _glorot(),
                                (8, self.f_maps, self.f_maps))
                 b = self.param(f"down_b_{d}", nn.initializers.zeros,
                                (self.f_maps,))
-                f = gs.gather_conv(f, ct, w, b)
+                f = gs.gather_conv(f, enc_child[d], w, b)
                 f = jnp.where(enc_svh.grids[d + 1].active_mask()[:, None],
                               f, 0.0)
 
@@ -228,7 +247,7 @@ class SparseUNet(nn.Module):
         g = enc_feats[D - 1]
         for d in range(D - 1, -1, -1):
             cand_grids[d] = cand
-            nbr = gs.neighbor_table(cand, stencil)
+            nbr = get_nbr(cand)
             g = ConvBlock(self.f_maps, name=f"dec_{d}")(
                 g, nbr, cand.active_mask())
 
@@ -253,23 +272,37 @@ class SparseUNet(nn.Module):
             dec_grids[d] = dec
 
             # heads live on the (pruned / GT) decoder grid
-            di = cand.lookup(dec.coords)
-            gd = gs.take_rows(g, di)
-            gd = jnp.where(dec.active_mask()[:, None], gd, 0.0)
+            if dec.key_hi is cand.key_hi:   # same grid object: no remap
+                gd = g
+            else:
+                di = cand.lookup(dec.coords)
+                gd = gs.take_rows(g, di)
+                gd = jnp.where(dec.active_mask()[:, None], gd, 0.0)
             basis_feats[d] = nn.Dense(self.basis_dim, name=f"basis_{d}")(gd)
-            nf = nn.Dense(3, name=f"normal_{d}")(gd)
+            # zero-init: predicted normals start exactly at the splatted
+            # input-normal prior (models/pipeline.py residual head)
+            nf = nn.Dense(3, kernel_init=nn.initializers.zeros,
+                          name=f"normal_{d}")(gd)
             normal_feats[d] = jnp.where(dec.active_mask()[:, None], nf, 0.0)
 
             if d > 0:
-                # children of refined voxels -> next candidate grid
-                refine = (status == VOXEL_REFINED) & cand.active_mask()
-                offs = jnp.asarray(gs.child_offsets())
-                cc = cand.coords[:, None, :] * 2 + offs[None]
-                cmask = jnp.broadcast_to(refine[:, None], cc.shape[:2])
-                nxt = SparseGrid.from_coords(
-                    cc.reshape(-1, 3), cmask.reshape(-1),
-                    dec_capacities[d - 1], cand.voxel_size * 0.5,
-                    cand.origin)
+                if use_gt_structure and gt_svh is not None and \
+                        gt_svh.grids[d - 1].key_hi is \
+                        enc_svh.grids[d - 1].key_hi:
+                    # teacher grid IS the encoder grid (splat-structure
+                    # inference): candidates == that grid; skip the
+                    # children-sort rebuild and reuse its neighbor table
+                    nxt = enc_svh.grids[d - 1]
+                else:
+                    # children of refined voxels -> next candidate grid
+                    refine = (status == VOXEL_REFINED) & cand.active_mask()
+                    offs = jnp.asarray(gs.child_offsets())
+                    cc = cand.coords[:, None, :] * 2 + offs[None]
+                    cmask = jnp.broadcast_to(refine[:, None], cc.shape[:2])
+                    nxt = SparseGrid.from_coords(
+                        cc.reshape(-1, 3), cmask.reshape(-1),
+                        dec_capacities[d - 1], cand.voxel_size * 0.5,
+                        cand.origin)
                 # transposed conv: child takes parent's features through an
                 # octant-specific weight, plus the encoder skip connection
                 pidx = cand.lookup(jnp.floor_divide(nxt.coords, 2))
@@ -277,8 +310,13 @@ class SparseUNet(nn.Module):
                 w_up = self.param(f"up_{d}", _glorot(),
                                   (8, self.f_maps, self.f_maps))
                 oct = gs.octant_id(nxt.coords)
-                h = jnp.einsum("nc,ncf->nf", pfeat,
-                               w_up[oct])  # (C,)-indexed octant weights
+                # octant-specific weights WITHOUT materializing per-voxel
+                # (N, C, F) weight gathers: 8 dense matmuls + masked sum
+                h = 0.0
+                for o in range(8):
+                    yo = jnp.dot(pfeat, w_up[o],
+                                 preferred_element_type=jnp.float32)
+                    h = h + jnp.where((oct == o)[:, None], yo, 0.0)
                 eidx = enc_svh.grids[d - 1].lookup(nxt.coords)
                 skip = gs.take_rows(enc_feats[d - 1], eidx)
                 g = jnp.where(nxt.active_mask()[:, None], h + skip, 0.0)
@@ -325,7 +363,8 @@ class NKSRNetwork(nn.Module):
                  enc_svh: SparseFeatureHierarchy,
                  gt_svh: Optional[SparseFeatureHierarchy],
                  use_gt_structure: bool,
-                 dec_capacities: Sequence[int]):
+                 dec_capacities: Sequence[int],
+                 tables=None, point_splat_idx=None):
         if self.is_initializing():
             # materialize params of submodules that are driven functionally
             # by the fields layer (interpolators, sdf/udf decoders)
@@ -334,9 +373,11 @@ class NKSRNetwork(nn.Module):
                 self.interpolators.basis(d, z3, jnp.zeros((1, self.basis_dim)))
             self.sdf_decoder(jnp.zeros((1, self.basis_dim)))
             self.udf_decoder(jnp.zeros((1, self.udf_dim)))
-        feat0 = self.encoder(xyz, point_feat, point_mask, enc_svh.grids[0])
+        feat0 = self.encoder(xyz, point_feat, point_mask, enc_svh.grids[0],
+                             splat_idx=point_splat_idx)
         out, dec_svh, udf_svh = self.unet(
-            feat0, enc_svh, gt_svh, use_gt_structure, dec_capacities)
+            feat0, enc_svh, gt_svh, use_gt_structure, dec_capacities,
+            tables=tables)
         return out, dec_svh, udf_svh
 
     # functional sub-entry points (mirror reference submodule access)

@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core.svh import SparseFeatureHierarchy
@@ -76,15 +77,56 @@ class ForwardOutput:
 
 
 def init_params(cfg: PipelineConfig, rng) -> Any:
-    """Initialize network parameters on a tiny synthetic cloud."""
+    """Initialize network parameters WITHOUT compiling the model.
+
+    ``jax.eval_shape`` gives the exact parameter tree abstractly (no XLA
+    compile — important on backends where compiling the full network graph
+    takes minutes), then leaves are initialized by rule: kernels get
+    glorot-uniform fan-in/fan-out, scales 1, everything else 0.  This
+    matches the module initializers (network.py uses glorot/zeros/ones).
+    """
     net = cfg.network()
     small = cfg.with_capacity_scale(256.0 / cfg.capacities[0])
-    xyz = jax.random.normal(rng, (32, 3)) * 0.2
+    xyz = jnp.zeros((32, 3), jnp.float32)
     mask = jnp.ones((32,), bool)
     feat = xyz if cfg.feature != "none" else None
-    svh = SparseFeatureHierarchy.build_point_splatting(
-        xyz, mask, cfg.voxel_size, cfg.tree_depth, small.capacities)
-    return net.init(rng, xyz, feat, mask, svh, svh, True, small.capacities)
+
+    def build(r):
+        svh = SparseFeatureHierarchy.build_point_splatting(
+            xyz, mask, cfg.voxel_size, cfg.tree_depth, small.capacities)
+        return net.init(r, xyz, feat, mask, svh, svh, True,
+                        small.capacities)
+
+    shapes = jax.eval_shape(build, rng)
+    flat, _ = jax.tree_util.tree_flatten_with_path(shapes)
+
+    import zlib
+
+    def make_leaves(r):  # one fused program: avoids per-leaf dispatches
+        leaves = []
+        for path, leaf in flat:
+            name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+            pathstr = jax.tree_util.keystr(path)
+            # deterministic across processes (python's hash() is salted)
+            key = jax.random.fold_in(r, zlib.crc32(
+                pathstr.encode()) & 0x7FFFFFFF)
+            if "normal_" in pathstr:
+                # zero-init residual normal head (see network.SparseUNet)
+                leaves.append(jnp.zeros(leaf.shape, leaf.dtype))
+            elif name == "kernel" and len(leaf.shape) >= 2:
+                fan_in = int(np.prod(leaf.shape[:-1]))
+                fan_out = int(leaf.shape[-1])
+                lim = float(np.sqrt(6.0 / (fan_in + fan_out)))
+                leaves.append(jax.random.uniform(
+                    key, leaf.shape, leaf.dtype, -lim, lim))
+            elif name == "scale":
+                leaves.append(jnp.ones(leaf.shape, leaf.dtype))
+            else:
+                leaves.append(jnp.zeros(leaf.shape, leaf.dtype))
+        return leaves
+    leaves = jax.jit(make_leaves)(rng)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(shapes), leaves)
 
 
 def point_features(cfg: PipelineConfig, xyz, normal=None, sensor=None):
@@ -100,21 +142,54 @@ def point_features(cfg: PipelineConfig, xyz, normal=None, sensor=None):
     return None
 
 
+@struct.dataclass
+class Precomputed:
+    """Host-built structures + index tables (core/host_build.py): with
+    these, the device program contains no sorts at all."""
+    enc_svh: SparseFeatureHierarchy
+    unet_tables: Any
+    point_splat_idx: jnp.ndarray          # (N, 8)
+    pos_sup_idx: Tuple[jnp.ndarray, ...]  # per depth (N, 8)
+    grad_sup_idx: Tuple[jnp.ndarray, ...]  # per depth (M, 8)
+
+
+def splat_normals_to_grid(grid, xyz, normal, mask, splat_idx=None):
+    """Per-voxel unit normals from trilinear-splatted input normals."""
+    from ..core.grid import point_splat_coords
+    corner, w = point_splat_coords(grid, xyz)
+    if splat_idx is None:
+        splat_idx = grid.lookup(corner.reshape(-1, 3)).reshape(
+            xyz.shape[0], 8)
+    w = jnp.where(mask[:, None] & (splat_idx >= 0), w, 0.0)
+    seg = jnp.where(splat_idx >= 0, splat_idx, grid.capacity).reshape(-1)
+    acc = jnp.zeros((grid.capacity + 1, 3)).at[seg].add(
+        (normal[:, None, :] * w[..., None]).reshape(-1, 3))
+    n = acc[:-1]
+    return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-6)
+
+
 def forward(cfg: PipelineConfig, params: Any, xyz: jnp.ndarray,
             mask: jnp.ndarray, feat: Optional[jnp.ndarray],
             gt_svh: Optional[SparseFeatureHierarchy] = None,
-            use_gt_structure: bool = False) -> ForwardOutput:
+            use_gt_structure: bool = False,
+            pre: Optional[Precomputed] = None,
+            input_normal: Optional[jnp.ndarray] = None) -> ForwardOutput:
     """The hot path.  All shapes static; jit me."""
     net = cfg.network()
-    enc_svh = SparseFeatureHierarchy.build_point_splatting(
-        xyz, mask, cfg.voxel_size, cfg.tree_depth, cfg.capacities)
+    if pre is not None:
+        enc_svh = pre.enc_svh
+    else:
+        enc_svh = SparseFeatureHierarchy.build_point_splatting(
+            xyz, mask, cfg.voxel_size, cfg.tree_depth, cfg.capacities)
 
     if cfg.structure_mode == "splat" and gt_svh is None:
         gt_svh, use_gt_structure = enc_svh, True
 
     out, dec_svh, udf_svh = net.apply(
         params, xyz, feat, mask, enc_svh, gt_svh, use_gt_structure,
-        cfg.capacities)
+        cfg.capacities,
+        tables=None if pre is None else pre.unet_tables,
+        point_splat_idx=None if pre is None else pre.point_splat_idx)
 
     interp = InterpolatorFn(
         params={"params": params["params"]["interpolators"]},
@@ -130,12 +205,27 @@ def forward(cfg: PipelineConfig, params: Any, xyz: jnp.ndarray,
             approx_kernel_grad=cfg.approx_kernel_grad)
 
         # solve rows (reference weighting /root/reference/models/nksr_net.py:100-112)
+        if cfg.feature == "normal" and input_normal is None:
+            input_normal = feat
         n_pts = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
         centers, cmask, nvals = [], [], []
         for d in range(cfg.adaptive_depth):
             centers.append(dec_svh.get_voxel_centers(d))
             cmask.append(dec_svh.grids[d].active_mask())
-            nvals.append(out.normal_features[d])
+            nv = out.normal_features[d]
+            if input_normal is not None:
+                # residual normal head: network corrects the trilinearly
+                # splatted input normals (sane from init, easier to train)
+                sidx = None
+                if pre is not None and \
+                        dec_svh.grids[d].key_hi is enc_svh.grids[d].key_hi:
+                    # pos_sup_idx[d] == the points' splat support at depth d
+                    sidx = pre.pos_sup_idx[d]
+                prior = splat_normals_to_grid(dec_svh.grids[d], xyz,
+                                              input_normal, mask,
+                                              splat_idx=sidx)
+                nv = prior + nv
+            nvals.append(nv)
         centers = jnp.concatenate(centers, 0)
         cmask = jnp.concatenate(cmask, 0)
         nvals = jnp.concatenate(nvals, 0)
@@ -147,7 +237,9 @@ def forward(cfg: PipelineConfig, params: Any, xyz: jnp.ndarray,
         field = field.solve_non_fused(
             xyz, pos_w, centers, normal_w, -nvals,
             reg_weight=cfg.reg_weight, solver_tol=cfg.solver_tol,
-            max_iters=cfg.solver_max_iters)
+            max_iters=cfg.solver_max_iters,
+            pos_sup_idx=None if pre is None else pre.pos_sup_idx,
+            normal_sup_idx=None if pre is None else pre.grad_sup_idx)
     elif cfg.geometry == "neural":
         sdf_dec = DecoderFn(
             params={"params": params["params"]["sdf_decoder"]},

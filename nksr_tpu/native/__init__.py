@@ -44,8 +44,32 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.keysearch_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
     _LIB = lib
     return _LIB
+
+
+def keysearch(sorted_keys: np.ndarray, queries: np.ndarray,
+              n_threads: int = 0) -> np.ndarray:
+    """Parallel binary search: index of each query in sorted int64 keys
+    (-1 if absent).  Falls back to numpy when the native lib is absent."""
+    lib = _load()
+    keys = np.ascontiguousarray(sorted_keys, np.int64)
+    q = np.ascontiguousarray(queries, np.int64)
+    if lib is None:
+        pos = np.searchsorted(keys, q)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        found = (len(keys) > 0) & (keys[pos_c] == q)
+        return np.where(found, pos_c, -1).astype(np.int32)
+    out = np.empty(q.shape[0], np.int32)
+    lib.keysearch_i64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), keys.shape[0],
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), q.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    return out
 
 
 class KDTree:

@@ -173,4 +173,36 @@ void kdtree_query(void* h, const float* q, int64_t m, int32_t k,
   for (auto& th : threads) th.join();
 }
 
+// Batch binary search over a sorted int64 key array (the host-side lookup
+// backbone of core/host_build.py; numpy's searchsorted is single-threaded
+// and dominates table construction for multi-million-point clouds).
+// out[i] = index of queries[i] in keys, or -1 if absent.
+void keysearch_i64(const int64_t* keys, int64_t n, const int64_t* queries,
+                   int64_t m, int32_t* out, int32_t n_threads) {
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  nt = std::max(1, std::min(nt, 64));
+  std::atomic<int64_t> next(0);
+  const int64_t chunk = 1 << 14;
+  auto worker = [&]() {
+    while (true) {
+      int64_t start = next.fetch_add(chunk);
+      if (start >= m) return;
+      int64_t end = std::min(start + chunk, m);
+      for (int64_t i = start; i < end; ++i) {
+        int64_t q = queries[i];
+        int64_t lo = 0, hi = n;
+        while (lo < hi) {
+          int64_t mid = (lo + hi) >> 1;
+          if (keys[mid] < q) lo = mid + 1; else hi = mid;
+        }
+        out[i] = (lo < n && keys[lo] == q) ? (int32_t)lo : -1;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -47,6 +47,45 @@ def neighbor_table(grid: SparseGrid, offsets: np.ndarray) -> jnp.ndarray:
     return jnp.where(grid.active_mask()[:, None], idx, -1)
 
 
+def svh_tables(grids, offsets: np.ndarray):
+    """All UNet lookup tables for a hierarchy in ONE segmented sort-join.
+
+    Returns (nbr, child): ``nbr[d]`` is the (C_d, K) stencil table of level
+    d, ``child[d]`` the (C_{d+1}, 8) children table of level d+1 -> d.
+    Folding every per-level lookup into one ``multi_search_sorted`` keeps
+    the number of big sort programs (each minutes of TPU compile) constant
+    instead of linear in depth.
+    """
+    from ..core import coords as C
+
+    offs = jnp.asarray(offsets, jnp.int32)
+    ch = jnp.asarray(child_offsets())
+    sets, queries, shapes = [], [], []
+    for g in grids:
+        q = g.coords[:, None, :] + offs[None]
+        sets.append((g.key_hi, g.key_lo, g.num_voxels))
+        queries.append(C.pack(q.reshape(-1, 3)))
+        shapes.append(("nbr", g.capacity, offs.shape[0]))
+    for d in range(len(grids) - 1):
+        fine, coarse = grids[d], grids[d + 1]
+        cc = coarse.coords[:, None, :] * 2 + ch[None]
+        sets.append((fine.key_hi, fine.key_lo, fine.num_voxels))
+        queries.append(C.pack(cc.reshape(-1, 3)))
+        shapes.append(("child", coarse.capacity, 8))
+    res = C.multi_search_sorted(sets, queries)
+    nbr, child = [], []
+    for g, (kind, rows, k), idx in zip(
+            list(grids) + list(grids[1:]), shapes, res):
+        t = idx.reshape(rows, k)
+        if kind == "nbr":
+            nbr.append(jnp.where(g.active_mask()[:, None], t, -1))
+    for (kind, rows, k), idx, coarse in zip(
+            shapes[len(grids):], res[len(grids):], grids[1:]):
+        t = idx.reshape(rows, k)
+        child.append(jnp.where(coarse.active_mask()[:, None], t, -1))
+    return nbr, child
+
+
 def parent_table(fine: SparseGrid, coarse: SparseGrid) -> jnp.ndarray:
     """(capacity_fine,) index of each fine voxel's parent in the coarse grid."""
     parents = jnp.floor_divide(fine.coords, 2)

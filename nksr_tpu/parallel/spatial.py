@@ -60,8 +60,10 @@ def halo_exchange_1d(mesh: Mesh, axis: str, values: jnp.ndarray,
     primitive the future sharded-SVH solve builds on.
     """
     n = jax.lax.axis_size(axis)
-    right = jax.lax.ppermute(values[-halo:], axis,
-                             [(i, (i + 1) % n) for i in range(n)])
-    left = jax.lax.ppermute(values[:halo], axis,
-                            [(i, (i - 1) % n) for i in range(n)])
+    # perm (i -> i+1): device d receives the LAST rows of neighbor d-1,
+    # i.e. its left halo; perm (i -> i-1) symmetric for the right halo.
+    left = jax.lax.ppermute(values[-halo:], axis,
+                            [(i, (i + 1) % n) for i in range(n)])
+    right = jax.lax.ppermute(values[:halo], axis,
+                             [(i, (i - 1) % n) for i in range(n)])
     return right, left

@@ -1,0 +1,105 @@
+"""Host-orchestrated field: sort-free device evaluation + host meshing.
+
+The Reconstructor's fast inference path (see core/host_build.py for why):
+the host builds every integer structure; the device runs compact,
+sort-free jit programs for the math (basis MLPs + dots).  This wrapper
+carries the host grids next to the solved device field so meshing and
+queries can prepare index tables on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import host_build as HB
+from ..meshing.dual_mc import TriangleMesh
+
+
+@functools.lru_cache(maxsize=64)
+def _eval_fn(cfg, grad: bool):
+    """Jitted sort-free field evaluation at fixed batch shape."""
+    def fn(field, x, sup_idx):
+        return field.evaluate_f(x, grad=grad, sup_idx=sup_idx)
+    return jax.jit(fn)
+
+
+class HostField:
+    """Solved kernel field + host-side structure for fast queries."""
+
+    def __init__(self, field, cfg, host_grids: List[HB.HostGrid],
+                 capacities: Sequence[int], adaptive_depth: int):
+        self.field = field
+        self.cfg = cfg
+        self.host_grids = host_grids
+        self.capacities = tuple(capacities)
+        self.adaptive_depth = adaptive_depth
+
+    def __getattr__(self, name):
+        return getattr(self.field, name)
+
+    # ------------------------------------------------------------- queries
+    def _support(self, x: np.ndarray):
+        return HB.support_indices(self.host_grids, self.capacities, x)
+
+    def _eval_batched(self, x: np.ndarray, grad: bool = False,
+                      batch: int = 1 << 18):
+        n = x.shape[0]
+        vals = np.empty(n, np.float32)
+        grads = np.empty((n, 3), np.float32) if grad else None
+        fn = _eval_fn(self.cfg, grad)
+        for i in range(0, n, batch):
+            xb = x[i:i + batch]
+            pad = batch - xb.shape[0] if xb.shape[0] < batch else 0
+            xp = np.pad(xb, ((0, pad), (0, 0)))
+            sup = self._support(xp)
+            out = fn(self.field, jnp.asarray(xp), sup)
+            vals[i:i + batch] = np.asarray(out.value)[:xb.shape[0]]
+            if grad:
+                grads[i:i + batch] = np.asarray(
+                    out.gradient)[:xb.shape[0]]
+        return (vals, grads) if grad else vals
+
+    def _mask_host(self, x: np.ndarray) -> np.ndarray:
+        """Union-of-support mask on the host (LayerField semantics)."""
+        inside = np.zeros(x.shape[0], bool)
+        for g in self.host_grids:
+            base = np.floor(x / g.voxel_size).astype(np.int64)
+            corners = (base[:, None, :] + HB._OFFS2[None]).reshape(-1, 3)
+            idx = HB.lookup(g, corners).reshape(x.shape[0], 8)
+            inside |= (idx >= 0).any(1)
+        return inside
+
+    def evaluate_f(self, x, grad: bool = False):
+        from ..fields.kernel_field import FieldEval
+        x = np.asarray(x, np.float32)
+        if grad:
+            v, g = self._eval_batched(x, grad=True)
+            return FieldEval(value=v, gradient=g)
+        return FieldEval(value=self._eval_batched(x))
+
+    def evaluate_f_bar(self, x) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        f = self._eval_batched(x)
+        m = self._mask_host(x)
+        return np.where(m, f, -float(np.asarray(
+            self.field.svh.voxel_size)))
+
+    # ------------------------------------------------------------- meshing
+    def extract_dual_mesh(self, mise_iter: int = 0, grid_upsample: int = 1,
+                          max_points: Optional[int] = None) -> TriangleMesh:
+        from ..meshing.host_mc import host_extract_dual_mesh
+        return host_extract_dual_mesh(self, mise_iter=mise_iter,
+                                      grid_upsample=grid_upsample)
+
+    def set_texture_field(self, tex) -> "HostField":
+        self.field = self.field.set_texture_field(tex)
+        return self
+
+    def set_mask_field(self, mf) -> "HostField":
+        self.field = self.field.set_mask_field(mf)
+        return self

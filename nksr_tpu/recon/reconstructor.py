@@ -41,6 +41,17 @@ def _compiled_forward(cfg: P.PipelineConfig):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_forward_pre(cfg: P.PipelineConfig):
+    """Sort-free forward over host-precomputed tables (fast TPU path)."""
+    def fn(params, xyz, mask, feat, pre):
+        out = P.forward(cfg, params, xyz, mask, feat,
+                        gt_svh=pre.enc_svh, use_gt_structure=True,
+                        pre=pre)
+        return out.field
+    return jax.jit(fn)
+
+
 class NetworkHandle:
     """API-parity shim for ``reconstructor.network`` (movable ``.to``,
     loadable state dict — /root/reference/NKSR-USAGE.md:164)."""
@@ -129,10 +140,45 @@ class Reconstructor:
             sensor=None if sens is None else jnp.asarray(
                 np.pad(sens, ((0, pad), (0, 0)))))
 
+        if cfg.structure_mode == "splat":
+            return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat)
+
         fwd = _compiled_forward(cfg)
         field = fwd(self.network.params, jnp.asarray(xyz_p),
                     jnp.asarray(mask), feat)
         return field
+
+    def _reconstruct_host(self, cfg, xyz, xyz_p, mask, feat):
+        """Host-built structures + one sort-free device jit
+        (see core/host_build.py)."""
+        from ..core import host_build as HB
+        from ..ops.gather_scatter import stencil_offsets
+        from .host_field import HostField
+
+        grids = HB.build_splat_grids(xyz, cfg.voxel_size, cfg.tree_depth)
+        caps = cfg.capacities
+        enc_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
+        tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
+        splat_idx = HB.support_indices(grids[:1], caps[:1],
+                                       xyz_p)[0]
+        pos_sup = HB.support_indices(grids, caps, xyz_p)
+        centers_parts = []
+        for d in range(cfg.adaptive_depth):
+            cpad = np.zeros((caps[d], 3), np.float32)
+            nn_ = min(len(grids[d].keys), caps[d])
+            cpad[:nn_] = grids[d].coords[:nn_] * grids[d].voxel_size
+            centers_parts.append(cpad)
+        centers_all = np.concatenate(centers_parts, 0)
+        grad_sup = HB.support_indices(grids, caps, centers_all)
+
+        pre = P.Precomputed(
+            enc_svh=enc_svh, unet_tables=tables,
+            point_splat_idx=splat_idx, pos_sup_idx=pos_sup,
+            grad_sup_idx=grad_sup)
+        fwd = _compiled_forward_pre(cfg)
+        field = fwd(self.network.params, jnp.asarray(xyz_p),
+                    jnp.asarray(mask), feat, pre)
+        return HostField(field, cfg, grids, caps, cfg.adaptive_depth)
 
     # -------------------------------------------------------------- helpers
     def _pick_voxel_size(self, xyz: np.ndarray,
@@ -156,16 +202,20 @@ class Reconstructor:
                         approx_kernel_grad: bool, solver_tol: float,
                         solver_max_iters: Optional[int],
                         feature: str) -> P.PipelineConfig:
-        # capacity estimate: unique occupied voxels x8-corner splat
-        sub = xyz[:: max(1, xyz.shape[0] // 200000)]
-        occ = len(np.unique(np.floor(sub / vs).astype(np.int64), axis=0))
-        occ = int(occ * xyz.shape[0] / max(len(sub), 1) ** 1.0)
-        est0 = min(8 * occ, 8 * n_pts)
+        # exact splat-corner count per level (cheap host-side unique on
+        # packed int64 keys; avoids the 8x-overallocation a naive bound
+        # gives and keeps HBM for the solve)
         caps = []
-        c = _next_pow2(int(est0 * 1.3))
-        for _ in range(self.config.tree_depth):
-            caps.append(max(c, 512))
-            c //= 2
+        offs = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
+                        -1).reshape(1, 8, 3)
+        for d in range(self.config.tree_depth):
+            base = np.floor(xyz / (vs * 2.0 ** d)).astype(np.int64)
+            corners = (base[:, None, :] + offs).reshape(-1, 3)
+            key = ((corners[:, 0] + (1 << 20)) << 42) \
+                + ((corners[:, 1] + (1 << 20)) << 21) \
+                + (corners[:, 2] + (1 << 20))
+            n_unique = len(np.unique(key))
+            caps.append(max(_next_pow2(int(n_unique * 1.15)), 512))
         return dataclasses.replace(
             self.config, voxel_size=vs, capacities=tuple(caps),
             approx_kernel_grad=approx_kernel_grad, solver_tol=solver_tol,

@@ -14,5 +14,9 @@ if not os.environ.get("NKSR_TPU_TEST_TPU"):
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
 
+# persistent compilation cache: repeated suite runs skip all XLA compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/nksr_tpu_xla_tests"))
+
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

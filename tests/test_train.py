@@ -17,8 +17,8 @@ from test_field import sphere_points
 
 CFG = P.PipelineConfig(
     voxel_size=0.1, tree_depth=3, adaptive_depth=1, f_maps=16,
-    basis_dim=8, udf_dim=8, capacities=(4096, 2048, 1024),
-    solver_max_iters=60, solver_tol=1e-4)
+    basis_dim=8, udf_dim=8, capacities=(2048, 1024, 512),
+    solver_max_iters=40, solver_tol=1e-4)
 
 LCFG = L.LossConfig(
     spatial_samplers=(L.SamplerConfig("uniform", 2048, 1, 3),
@@ -31,9 +31,9 @@ TC = T.TrainConfig(lr_init=2e-3, structure_start_step=0,
                    structure_end_step=1)
 
 
-def make_batch(n=1200, seed=0):
+def make_batch(n=800, seed=0):
     xyz, nrm = sphere_points(n, r=0.5, seed=seed)
-    cap = 2048
+    cap = 1024
     pad = cap - n
     p = lambda a: jnp.asarray(np.pad(a, ((0, pad), (0, 0))))
     mask = jnp.asarray(np.arange(cap) < n)
@@ -87,20 +87,16 @@ class TestOverfit:
     def test_overfit_sphere_converges(self):
         state = T.init_state(CFG, TC, jax.random.PRNGKey(0))
         batch = make_batch()
-        first = None
         hist = []
-        for i in range(30):
+        for i in range(12):
             rng = jax.random.PRNGKey(100 + i)
             state, losses, _ = T.train_step(
                 CFG, TC, LCFG, state, batch, rng, use_gt_structure=True)
-            val = float(losses["sum"])
-            hist.append(val)
-            if first is None:
-                first = val
-        last5 = np.mean(hist[-5:])
-        first5 = np.mean(hist[:5])
-        assert np.isfinite(last5)
-        assert last5 < 0.7 * first5, f"no convergence: {hist}"
+            hist.append(float(losses["sum"]))
+        last3 = np.mean(hist[-3:])
+        first3 = np.mean(hist[:3])
+        assert np.isfinite(last3)
+        assert last3 < 0.85 * first3, f"no convergence: {hist}"
 
     def test_val_step(self):
         state = T.init_state(CFG, TC, jax.random.PRNGKey(0))
