@@ -112,6 +112,27 @@ class UNetTables(NamedTuple):
     child: Tuple        # per level d: (cap_{d+1}, 8) indices into level d
 
 
+def _offset_delta(off: np.ndarray) -> int:
+    """pack64(c + off) - pack64(c): packing is linear in the coords."""
+    return int((int(off[0]) << 42) | 0) + (int(off[1]) << 21) + int(off[2])
+
+
+def _stencil_tables(keys: np.ndarray, offsets: np.ndarray,
+                    base_keys: Optional[np.ndarray] = None) -> np.ndarray:
+    """(len(base), K) indices of base+offset in the sorted key set.
+
+    For each offset the shifted query keys stay sorted (linear packing),
+    so every column is an O(n) native merge join instead of n binary
+    searches.
+    """
+    from ..native import sorted_join
+    base = keys if base_keys is None else base_keys
+    out = np.empty((len(base), len(offsets)), np.int32)
+    for k, off in enumerate(offsets):
+        out[:, k] = sorted_join(keys, base + _offset_delta(off))
+    return out
+
+
 def build_unet_tables(grids: Sequence[HostGrid],
                       capacities: Sequence[int],
                       stencil: np.ndarray) -> UNetTables:
@@ -121,18 +142,16 @@ def build_unet_tables(grids: Sequence[HostGrid],
         cap = capacities[d]
         n = min(len(g.keys), cap)
         t = np.full((cap, stencil.shape[0]), -1, np.int32)
-        q = (g.coords[:n, None, :].astype(np.int64)
-             + stencil[None].astype(np.int64)).reshape(-1, 3)
-        idx = lookup(g, q).reshape(n, stencil.shape[0])
+        idx = _stencil_tables(g.keys, stencil.astype(np.int64))[:n]
         t[:n] = np.where(idx < cap, idx, -1)
         nbr.append(jnp.asarray(t))
     for d in range(len(grids) - 1):
         fine, coarse = grids[d], grids[d + 1]
         cap_c, cap_f = capacities[d + 1], capacities[d]
         n = min(len(coarse.keys), cap_c)
-        q = (coarse.coords[:n, None, :].astype(np.int64) * 2
-             + _OFFS2[None]).reshape(-1, 3)
-        idx = lookup(fine, q).reshape(n, 8)
+        # child keys = pack64(2c + off) = 2*pack64(c) - pack64(0) + delta
+        doubled = 2 * coarse.keys[:n] - pack64(np.zeros((1, 3), np.int64))
+        idx = _stencil_tables(fine.keys, _OFFS2, base_keys=doubled)
         t = np.full((cap_c, 8), -1, np.int32)
         t[:n] = np.where(idx < cap_f, idx, -1)
         child.append(jnp.asarray(t))
@@ -143,12 +162,22 @@ def support_indices(grids: Sequence[HostGrid], capacities: Sequence[int],
                     x: np.ndarray) -> Tuple:
     """Per-depth (Q, 8) indices of each query's 8 surrounding voxel
     centers (the field's basis support) — host counterpart of the lookup
-    inside fields.support.depth_support."""
+    inside fields.support.depth_support.
+
+    Queries are sorted once per depth so the 8 offset columns become
+    native merge joins; results scatter back to input order.
+    """
     import jax.numpy as jnp
     out = []
     for g, cap in zip(grids, capacities):
-        base = np.floor(x / g.voxel_size).astype(np.int64)
-        corners = (base[:, None, :] + _OFFS2[None]).reshape(-1, 3)
-        idx = lookup(g, corners).reshape(x.shape[0], 8)
-        out.append(jnp.asarray(np.where(idx < cap, idx, -1)))
+        base = pack64(np.floor(x / g.voxel_size).astype(np.int64))
+        order = np.argsort(base, kind="stable")
+        sorted_base = base[order]
+        idx_sorted = _stencil_tables(g.keys, _OFFS2,
+                                     base_keys=sorted_base)
+        idx = np.empty_like(idx_sorted)
+        idx[order] = idx_sorted
+        # plain numpy: jit converts at the call boundary, and host-side
+        # consumers (mask tests) avoid a device round-trip
+        out.append(np.where(idx < cap, idx, -1))
     return tuple(out)

@@ -92,8 +92,9 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
     # ---- field at corners (device, batched, sort-free)
     f_corner = np.asarray(eval_fbar(corner_world(cc)), np.float32)
 
-    # per-voxel corner values
-    cidx = HB.lookup(corner_grid, vox_corners.reshape(-1, 3)).reshape(V, 8)
+    # per-voxel corner values (shifted merge joins: vox keys are sorted)
+    cidx = HB._stencil_tables(corner_keys, _CORNER_OFFS.astype(np.int64),
+                              base_keys=vox_keys)
     fvals = f_corner[np.maximum(cidx, 0)]
     fvals = np.where(cidx >= 0, fvals, neg_default)
 
@@ -125,14 +126,18 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
                            voxel_size=s)
     sign = f_corner > 0
     for a in range(3):
-        nb = HB.lookup(corner_grid, cc + np.eye(3, dtype=np.int64)[a])
+        nb = HB._stencil_tables(corner_keys,
+                                np.eye(3, dtype=np.int64)[a][None],
+                                base_keys=corner_keys)[:, 0]
         f1 = np.where(nb >= 0, f_corner[np.maximum(nb, 0)], neg_default)
         change = (sign != (f1 > 0))
         rows = np.nonzero(change)[0]
         if len(rows) == 0:
             continue
-        quad_vox = cc[rows][:, None, :] - _QUAD_VOX_OFFS[a][None]
-        vidx = HB.lookup(vox_grid, quad_vox.reshape(-1, 3)).reshape(-1, 4)
+        # quad voxels: row-subset of corners is still sorted, offsets shift
+        vidx = HB._stencil_tables(
+            vox_keys, -_QUAD_VOX_OFFS[a],
+            base_keys=corner_keys[rows])
         ok = (vidx >= 0).all(1)
         vidx = vidx[ok]
         flip = ~sign[rows][ok]

@@ -48,8 +48,31 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.sorted_join_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
     _LIB = lib
     return _LIB
+
+
+def sorted_join(sorted_keys: np.ndarray,
+                sorted_queries: np.ndarray) -> np.ndarray:
+    """Positions of sorted queries in sorted keys (-1 absent); O(n+m)."""
+    lib = _load()
+    keys = np.ascontiguousarray(sorted_keys, np.int64)
+    q = np.ascontiguousarray(sorted_queries, np.int64)
+    if lib is None:
+        pos = np.searchsorted(keys, q)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        found = (len(keys) > 0) & (keys[pos_c] == q)
+        return np.where(found, pos_c, -1).astype(np.int32)
+    out = np.empty(q.shape[0], np.int32)
+    lib.sorted_join_i64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), keys.shape[0],
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), q.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 def keysearch(sorted_keys: np.ndarray, queries: np.ndarray,

@@ -205,4 +205,18 @@ void keysearch_i64(const int64_t* keys, int64_t n, const int64_t* queries,
   for (auto& th : threads) th.join();
 }
 
+// Sorted-sorted merge join: positions of sorted queries in sorted keys
+// (-1 if absent).  Linear two-pointer scan — the fast path for stencil
+// lookups, whose shifted query keys are sorted by construction
+// (core/host_build.py).
+void sorted_join_i64(const int64_t* keys, int64_t n, const int64_t* q,
+                     int64_t m, int32_t* out) {
+  int64_t i = 0;
+  for (int64_t j = 0; j < m; ++j) {
+    int64_t v = q[j];
+    while (i < n && keys[i] < v) ++i;
+    out[j] = (i < n && keys[i] == v) ? (int32_t)i : -1;
+  }
+}
+
 }  // extern "C"

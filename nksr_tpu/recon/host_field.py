@@ -66,12 +66,10 @@ class HostField:
 
     def _mask_host(self, x: np.ndarray) -> np.ndarray:
         """Union-of-support mask on the host (LayerField semantics)."""
+        sup = HB.support_indices(self.host_grids, self.capacities, x)
         inside = np.zeros(x.shape[0], bool)
-        for g in self.host_grids:
-            base = np.floor(x / g.voxel_size).astype(np.int64)
-            corners = (base[:, None, :] + HB._OFFS2[None]).reshape(-1, 3)
-            idx = HB.lookup(g, corners).reshape(x.shape[0], 8)
-            inside |= (idx >= 0).any(1)
+        for s in sup:
+            inside |= (np.asarray(s) >= 0).any(1)
         return inside
 
     def evaluate_f(self, x, grad: bool = False):

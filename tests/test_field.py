@@ -105,19 +105,22 @@ class TestKernelSolve:
         dof = sum(s[0] * s[1] for s in shapes)
 
         def row_block(sup, q, grad):
+            # flat layout: idx_k (Q, 8K) flat-DoF columns, basis (Q, 8K),
+            # dbasis (Q, 3*8K) component-major
             row = np.zeros((3 if grad else 1, dof))
             off = 0
             for d, s in enumerate(sup):
                 C, K = shapes[d]
-                for j in range(8):
-                    ii = int(s.idx[q, j])
-                    if ii >= 0:
-                        col = off + ii * K
+                sk = 8 * K
+                d3 = np.asarray(s.dbasis[q]).reshape(3, sk) if grad \
+                    else None
+                for j in range(sk):
+                    col_flat = int(s.idx_k[q, j])
+                    if col_flat >= 0:
                         if grad:
-                            row[:, col:col + K] = np.asarray(
-                                s.dbasis[q, j]).T
+                            row[:, off + col_flat] = d3[:, j]
                         else:
-                            row[0, col:col + K] = np.asarray(s.basis[q, j])
+                            row[0, off + col_flat] = float(s.basis[q, j])
                 off += C * K
             return row
 
