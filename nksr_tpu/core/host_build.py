@@ -69,16 +69,36 @@ def build_splat_grids(xyz: np.ndarray, voxel_size: float,
                       depth: int) -> List[HostGrid]:
     """Point-splat hierarchy (same convention as SVH.build_point_splatting:
     the 8 voxel centers around each point, per level)."""
-    grids = []
+    return build_splat_grids_ex(xyz, voxel_size, depth)[0]
+
+
+def build_splat_grids_ex(xyz: np.ndarray, voxel_size: float, depth: int):
+    """Splat hierarchy + per-level sorted point-base keys.
+
+    Two-stage dedup: sort the N point-base keys once, dedup, THEN expand
+    the 8 corners of the (much smaller) unique set — ~4x less sorting than
+    deduping 8N corner keys directly.  The sorted base keys + order are
+    returned for reuse by ``support_indices`` (same keys).
+    """
+    grids, orders = [], []
     for d in range(depth):
         vs = voxel_size * (2.0 ** d)
-        # matches grid.point_splat_coords: base = floor(x/vs), corners
-        # base + {0,1}^3
-        base = np.floor(xyz / vs).astype(np.int64)
-        corners = (base[:, None, :] + _OFFS2[None]).reshape(-1, 3)
-        g = _sorted_unique(corners)
-        grids.append(HostGrid(g.coords, g.keys, vs))
-    return grids
+        base = pack64(np.floor(xyz / vs).astype(np.int64))
+        order = np.argsort(base, kind="stable")
+        sb = base[order]
+        if len(sb):
+            first = np.concatenate([[True], sb[1:] != sb[:-1]])
+            ub = sb[first]
+        else:
+            ub = sb
+        # corner keys by linear packing: pack64(c + off) = key + delta
+        deltas = np.array([_offset_delta(o) for o in _OFFS2], np.int64)
+        corners = (ub[:, None] + deltas[None]).ravel()
+        keys = np.unique(corners)
+        grids.append(HostGrid(coords=unpack64(keys), keys=keys,
+                              voxel_size=vs))
+        orders.append((sb, order))
+    return grids, orders
 
 
 def to_device_svh(grids: Sequence[HostGrid], capacities: Sequence[int],
@@ -159,7 +179,7 @@ def build_unet_tables(grids: Sequence[HostGrid],
 
 
 def support_indices(grids: Sequence[HostGrid], capacities: Sequence[int],
-                    x: np.ndarray) -> Tuple:
+                    x: np.ndarray, presorted=None) -> Tuple:
     """Per-depth (Q, 8) indices of each query's 8 surrounding voxel
     centers (the field's basis support) — host counterpart of the lookup
     inside fields.support.depth_support.
@@ -169,10 +189,13 @@ def support_indices(grids: Sequence[HostGrid], capacities: Sequence[int],
     """
     import jax.numpy as jnp
     out = []
-    for g, cap in zip(grids, capacities):
-        base = pack64(np.floor(x / g.voxel_size).astype(np.int64))
-        order = np.argsort(base, kind="stable")
-        sorted_base = base[order]
+    for i, (g, cap) in enumerate(zip(grids, capacities)):
+        if presorted is not None:
+            sorted_base, order = presorted[i]
+        else:
+            base = pack64(np.floor(x / g.voxel_size).astype(np.int64))
+            order = np.argsort(base, kind="stable")
+            sorted_base = base[order]
         idx_sorted = _stencil_tables(g.keys, _OFFS2,
                                      base_keys=sorted_base)
         idx = np.empty_like(idx_sorted)

@@ -155,13 +155,22 @@ class Reconstructor:
         from ..ops.gather_scatter import stencil_offsets
         from .host_field import HostField
 
-        grids = HB.build_splat_grids(xyz, cfg.voxel_size, cfg.tree_depth)
-        caps = cfg.capacities
+        # one pass builds grids AND the sorted point-base keys reused for
+        # the support tables; capacities come from the exact counts
+        grids, orders = HB.build_splat_grids_ex(
+            xyz, cfg.voxel_size, cfg.tree_depth)
+        caps = tuple(max(_next_pow2(int(len(g.keys) * 1.05)), 512)
+                     for g in grids)
+        cfg = dataclasses.replace(cfg, capacities=caps)
         enc_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
         tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
-        splat_idx = HB.support_indices(grids[:1], caps[:1],
-                                       xyz_p)[0]
-        pos_sup = HB.support_indices(grids, caps, xyz_p)
+        n, cap_pts = xyz.shape[0], xyz_p.shape[0]
+        pos_sup_n = HB.support_indices(grids, caps, xyz,
+                                       presorted=orders)
+        pos_sup = tuple(
+            np.concatenate([s, np.full((cap_pts - n, 8), -1, np.int32)])
+            for s in pos_sup_n)
+        splat_idx = pos_sup[0]
         centers_parts = []
         for d in range(cfg.adaptive_depth):
             cpad = np.zeros((caps[d], 3), np.float32)
@@ -202,20 +211,23 @@ class Reconstructor:
                         approx_kernel_grad: bool, solver_tol: float,
                         solver_max_iters: Optional[int],
                         feature: str) -> P.PipelineConfig:
-        # exact splat-corner count per level (cheap host-side unique on
-        # packed int64 keys; avoids the 8x-overallocation a naive bound
-        # gives and keeps HBM for the solve)
+        # splat-corner capacity estimate from a subsample (the host path
+        # replaces these with exact counts from its own build)
         caps = []
+        step = max(1, xyz.shape[0] // 100000)
+        sub = xyz[::step]
         offs = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
                         -1).reshape(1, 8, 3)
         for d in range(self.config.tree_depth):
-            base = np.floor(xyz / (vs * 2.0 ** d)).astype(np.int64)
+            base = np.floor(sub / (vs * 2.0 ** d)).astype(np.int64)
             corners = (base[:, None, :] + offs).reshape(-1, 3)
             key = ((corners[:, 0] + (1 << 20)) << 42) \
                 + ((corners[:, 1] + (1 << 20)) << 21) \
                 + (corners[:, 2] + (1 << 20))
             n_unique = len(np.unique(key))
-            caps.append(max(_next_pow2(int(n_unique * 1.15)), 512))
+            # sublinear growth of occupied cells with point count
+            scale = min(step, max(1.0, step ** 0.7))
+            caps.append(max(_next_pow2(int(n_unique * scale * 1.3)), 512))
         return dataclasses.replace(
             self.config, voxel_size=vs, capacities=tuple(caps),
             approx_kernel_grad=approx_kernel_grad, solver_tol=solver_tol,
