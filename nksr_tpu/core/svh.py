@@ -129,6 +129,31 @@ class SparseFeatureHierarchy:
         return SparseFeatureHierarchy(grids=tuple(grids),
                                       voxel_size=voxel_size)
 
+    # -------------------------------------------------------- visualization
+    def get_visualization(self):
+        """Wireframe line segments per level for debug rendering
+        (reference parity: svh.get_visualization(),
+        /root/reference/models/nksr_net.py:71).
+
+        Returns a list of (starts (M, 3), ends (M, 3)) numpy arrays, one
+        per level: the 12 edges of every active voxel cube.
+        """
+        import numpy as np
+        corner = np.stack(np.meshgrid(*([np.arange(2)] * 3),
+                                      indexing="ij"), -1).reshape(8, 3)
+        edges = np.array([(a, b) for a in range(8) for b in range(8)
+                          if a < b and bin(a ^ b).count("1") == 1])
+        out = []
+        for g in self.grids:
+            n = int(g.num_voxels)
+            vs = float(g.voxel_size)
+            c = np.asarray(g.coords)[:n].astype(np.float32)
+            cor = (c[:, None, :] + corner[None] - 0.5) * vs \
+                + np.asarray(g.origin)
+            out.append((cor[:, edges[:, 0]].reshape(-1, 3),
+                        cor[:, edges[:, 1]].reshape(-1, 3)))
+        return out
+
     # ------------------------------------------------------------- structure
     def evaluate_voxel_status(self, coords: jnp.ndarray,
                               depth: int) -> jnp.ndarray:
