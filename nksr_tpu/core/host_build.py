@@ -101,29 +101,79 @@ def build_splat_grids_ex(xyz: np.ndarray, voxel_size: float, depth: int):
     return grids, orders
 
 
+def to_device_grid(g: HostGrid, cap: int) -> SparseGrid:
+    """Upload one host grid as a capacity-padded device grid."""
+    import jax.numpy as jnp
+    n = min(len(g.keys), cap)
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:n] = g.coords[:n]
+    hi = np.full(cap, 0xFFFFFFFF, np.uint32)
+    lo = np.full(cap, 0xFFFFFFFF, np.uint32)
+    ci = g.coords[:n].astype(np.int64) + (1 << 15)
+    hi[:n] = ((ci[:, 0] << 16) | ci[:, 1]).astype(np.uint32)
+    lo[:n] = ci[:, 2].astype(np.uint32)
+    return SparseGrid(
+        key_hi=jnp.asarray(hi), key_lo=jnp.asarray(lo),
+        coords=jnp.asarray(coords),
+        num_voxels=jnp.asarray(n, jnp.int32),
+        voxel_size=jnp.asarray(g.voxel_size, jnp.float32),
+        origin=jnp.zeros((3,), jnp.float32))
+
+
 def to_device_svh(grids: Sequence[HostGrid], capacities: Sequence[int],
                   voxel_size: float) -> SparseFeatureHierarchy:
     """Upload host grids as a capacity-padded device hierarchy."""
     import jax.numpy as jnp
-    out = []
-    for g, cap in zip(grids, capacities):
-        n = min(len(g.keys), cap)
-        coords = np.zeros((cap, 3), np.int32)
-        coords[:n] = g.coords[:n]
-        hi = np.full(cap, 0xFFFFFFFF, np.uint32)
-        lo = np.full(cap, 0xFFFFFFFF, np.uint32)
-        ci = g.coords[:n].astype(np.int64) + (1 << 15)
-        hi[:n] = ((ci[:, 0] << 16) | ci[:, 1]).astype(np.uint32)
-        lo[:n] = ci[:, 2].astype(np.uint32)
-        out.append(SparseGrid(
-            key_hi=jnp.asarray(hi), key_lo=jnp.asarray(lo),
-            coords=jnp.asarray(coords),
-            num_voxels=jnp.asarray(n, jnp.int32),
-            voxel_size=jnp.asarray(g.voxel_size, jnp.float32),
-            origin=jnp.zeros((3,), jnp.float32)))
-    return SparseFeatureHierarchy(grids=tuple(out),
-                                  voxel_size=jnp.asarray(voxel_size,
-                                                         jnp.float32))
+    return SparseFeatureHierarchy(
+        grids=tuple(to_device_grid(g, cap)
+                    for g, cap in zip(grids, capacities)),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32))
+
+
+def prune(grid: HostGrid, keep: np.ndarray) -> HostGrid:
+    """Subset of a host grid's (sorted) rows — order is preserved."""
+    return HostGrid(coords=grid.coords[keep], keys=grid.keys[keep],
+                    voxel_size=grid.voxel_size)
+
+
+def children_of(grid: HostGrid, refined_rows: np.ndarray
+                ) -> Tuple[HostGrid, np.ndarray, np.ndarray]:
+    """Children (2x finer) of the given rows of a host grid.
+
+    Returns (child grid sorted by key, parent row per child (M,),
+    octant id per child (M,)) — the host counterpart of the UNet's
+    in-graph upsampling grid build (models/network.py SparseUNet).
+    Children of distinct parents never collide, so no dedup is needed.
+    """
+    pk = grid.keys[refined_rows]
+    doubled = 2 * pk - pack64(np.zeros((1, 3), np.int64))
+    deltas = np.array([_offset_delta(o) for o in _OFFS2], np.int64)
+    ckeys = (doubled[:, None] + deltas[None]).ravel()
+    parent = np.repeat(refined_rows, 8)
+    order = np.argsort(ckeys, kind="stable")
+    ckeys = ckeys[order]
+    coords = unpack64(ckeys)
+    oct_ = coords - 2 * np.floor_divide(coords, 2)
+    oct_id = (oct_[:, 0] * 4 + oct_[:, 1] * 2 + oct_[:, 2]).astype(np.int32)
+    return (HostGrid(coords=coords, keys=ckeys,
+                     voxel_size=grid.voxel_size * 0.5),
+            parent[order].astype(np.int32), oct_id)
+
+
+def nbr_table(grid: HostGrid, cap: int, stencil: np.ndarray) -> np.ndarray:
+    """(cap, K) padded stencil table for one host grid."""
+    n = min(len(grid.keys), cap)
+    t = np.full((cap, stencil.shape[0]), -1, np.int32)
+    if n:
+        idx = _stencil_tables(grid.keys, stencil.astype(np.int64))[:n]
+        t[:n] = np.where(idx < cap, idx, -1)
+    return t
+
+
+def keys_lookup(grid: HostGrid, keys: np.ndarray) -> np.ndarray:
+    """Index of each packed key in the sorted grid, -1 if absent."""
+    from ..native import keysearch
+    return keysearch(grid.keys, keys)
 
 
 class UNetTables(NamedTuple):
@@ -190,6 +240,9 @@ def support_indices(grids: Sequence[HostGrid], capacities: Sequence[int],
     import jax.numpy as jnp
     out = []
     for i, (g, cap) in enumerate(zip(grids, capacities)):
+        if len(g.keys) == 0:   # empty level: no joins, all absent
+            out.append(np.full((x.shape[0], 8), -1, np.int32))
+            continue
         if presorted is not None:
             sorted_base, order = presorted[i]
         else:

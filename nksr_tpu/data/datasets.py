@@ -141,6 +141,49 @@ class PointCloudDataset(RandomSafeDataset):
         return self.transforms(data, rng)
 
 
+class Points2SurfDataset(RandomSafeDataset):
+    """Points2Surf benchmark layout: ``<root>/<dataset_name>/<split>.lst``
+    lists items; inputs at ``<dataset_name>/<type_name>/input/<item>.ply``
+    (points + normals), dense GT at ``<dataset_name>/gt/<item>.ply``
+    (reference /root/reference/dataset/points2surf.py:11-66)."""
+
+    def __init__(self, root: str, spec: Sequence[DS],
+                 dataset_name: str = "abc", type_name: str = "04_pts_vis",
+                 split: str = "test",
+                 transforms: Optional[Sequence[Dict]] = None, seed: int = 0,
+                 skip_on_error: bool = False):
+        super().__init__(seed, skip_on_error)
+        self.root = Path(root)
+        self.dataset_name = dataset_name
+        self.type_name = type_name
+        self.spec = list(spec)
+        self.transforms = ComposedTransforms(transforms)
+        lst = self.root / dataset_name / f"{split}.lst"
+        self.items = [l.strip() for l in lst.read_text().splitlines()
+                      if l.strip()]
+
+    def __len__(self):
+        return len(self.items)
+
+    def get_name(self):
+        return f"p2s-{self.dataset_name}-{self.type_name}"
+
+    def _get_item(self, idx, rng):
+        name = self.items[idx]
+        data: Dict = {DS.SHAPE_NAME: f"{self.type_name}/{name}"}
+        xyz, nrm = read_ply(self.root / self.dataset_name / self.type_name
+                            / "input" / f"{name}.ply")
+        data[DS.INPUT_PC] = xyz
+        if nrm is not None and DS.TARGET_NORMAL in self.spec:
+            data[DS.TARGET_NORMAL] = nrm
+        gx, gn = read_ply(self.root / self.dataset_name / "gt"
+                          / f"{name}.ply")
+        data[DS.GT_DENSE_PC] = gx
+        if gn is not None:
+            data[DS.GT_DENSE_NORMAL] = gn
+        return self.transforms(data, rng)
+
+
 class MatterportDataset(AVDataset):
     """Indoor region npz files (reference dataset/matterport.py:61-96) —
     same npz field contract as AVDataset with region-based splits."""
@@ -178,6 +221,7 @@ _DATASETS = {
     "AV": AVDataset,
     "CARLA": AVDataset,
     "Matterport": MatterportDataset,
+    "Points2Surf": Points2SurfDataset,
     "Customized": PointCloudDataset,
     "Combined": CombinedDataset,
 }

@@ -106,10 +106,68 @@ class KernelField:
                           max_iters=max_iters)
         return self.replace(alpha=alpha)
 
-    # solve() is the fused-mode entry of the reference
-    # (/root/reference/examples/recons_waymo.py:33: fused_mode, solver_tol);
-    # our formulation is already fused, so both share one implementation.
-    solve = solve_non_fused
+    def solve_fused(self, pos_xyz: jnp.ndarray, pos_w: jnp.ndarray,
+                    normal_xyz: jnp.ndarray, normal_w: jnp.ndarray,
+                    normal_value: jnp.ndarray,
+                    reg_weight: float = 1.0,
+                    solver_tol: float = 1e-5,
+                    max_iters: int = 128,
+                    pos_sup_idx=None,
+                    normal_sup_idx=None) -> "KernelField":
+        """Fused-mode solve (reference flag at
+        /root/reference/examples/recons_waymo.py:33): identical math to
+        ``solve_non_fused``, but the per-row support tensors are
+        RECOMPUTED inside every CG matvec instead of being materialized
+        once — trading interpolator-MLP FLOPs for O(rows * 8K) HBM.
+        On TPU this is the scaling mode: a 10M-point scene's precomputed
+        gradient supports alone are ~10M * 96 floats live across the whole
+        solve; here only one row block is alive at a time.
+        """
+        shapes = self._shapes()
+
+        def sup_v():
+            return S.svh_support(self.svh, self.features, self.interp,
+                                 pos_xyz, grad=False, sup_idx=pos_sup_idx)
+
+        def sup_g():
+            return S.svh_support(self.svh, self.features, self.interp,
+                                 normal_xyz, grad=True,
+                                 approx_grad=self.approx_kernel_grad,
+                                 sup_idx=normal_sup_idx)
+
+        # one-time passes (XLA frees each support tensor after its use)
+        sg = sup_g()
+        rhs = S.scatter_rows(sg, shapes,
+                             normal_w[:, None] * normal_value, grad=True)
+        dg = S.diag_contrib(sg, shapes, normal_w, grad=True)
+        sv = sup_v()
+        dv = S.diag_contrib(sv, shapes, pos_w)
+        diag = jax.tree_util.tree_map(
+            lambda a, b: a + b + reg_weight, tuple(dv), tuple(dg))
+
+        def matvec(a):
+            svi = sup_v()
+            out_v = S.scatter_rows(svi, shapes, pos_w * S.predict(svi, a))
+            sgi = sup_g()
+            _, fg = S.predict(sgi, a, grad=True)
+            out_g = S.scatter_rows(sgi, shapes,
+                                   normal_w[:, None] * fg, grad=True)
+            return jax.tree_util.tree_map(
+                lambda v, g, ai: v + g + reg_weight * ai,
+                tuple(out_v), tuple(out_g), a)
+
+        def precond(r):
+            return jax.tree_util.tree_map(lambda ri, di: ri / di, r, diag)
+
+        alpha = solve_spd(matvec, rhs, precond=precond, tol=solver_tol,
+                          max_iters=max_iters)
+        return self.replace(alpha=alpha)
+
+    def solve(self, *args, fused: bool = False, **kw) -> "KernelField":
+        """Dispatching entry: ``fused`` selects the recompute-in-matvec
+        variant (reference ``fused_mode``)."""
+        return (self.solve_fused if fused else self.solve_non_fused)(
+            *args, **kw)
 
     # ----------------------------------------------------------- evaluation
     def evaluate_f(self, x: jnp.ndarray, grad: bool = False,

@@ -45,6 +45,7 @@ class PipelineConfig:
     solver_tol: float = 1e-5
     solver_max_iters: int = 128
     approx_kernel_grad: bool = False
+    fused_mode: bool = False         # recompute supports inside CG matvecs
     capacities: Tuple[int, ...] = (65536, 32768, 16384, 8192)
     adaptive_tau: float = 0.1
     # decoder hierarchy source at inference: 'predicted' (structure head,
@@ -168,6 +169,64 @@ def splat_normals_to_grid(grid, xyz, normal, mask, splat_idx=None):
     return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-6)
 
 
+def solve_kernel_field(cfg: PipelineConfig, params: Any, xyz: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       input_normal: Optional[jnp.ndarray],
+                       dec_svh: SparseFeatureHierarchy,
+                       basis_features: Tuple[jnp.ndarray, ...],
+                       normal_features: Tuple[jnp.ndarray, ...],
+                       pos_sup_idx=None, grad_sup_idx=None,
+                       prior_splat_idx=None) -> KernelField:
+    """Assemble solve rows and fit the kernel field (reference weighting
+    /root/reference/models/nksr_net.py:100-112).  Shared by the in-graph
+    forward and the host-orchestrated phase jits (recon/host_predicted.py).
+
+    ``prior_splat_idx``: optional per-adaptive-depth (N, 8) splat indices of
+    the input points into the decoder grids (host-precomputed); None entries
+    fall back to an in-graph lookup.
+    """
+    interp = InterpolatorFn(
+        params={"params": params["params"]["interpolators"]},
+        module=Interpolators(depth=cfg.tree_depth,
+                             kernel_dim=cfg.kernel_dim,
+                             n_hidden=cfg.interp_layers,
+                             hidden_dim=cfg.interp_hidden))
+    field = KernelField(
+        svh=dec_svh, features=basis_features, interp=interp,
+        kernel_dim=cfg.kernel_dim,
+        approx_kernel_grad=cfg.approx_kernel_grad)
+
+    n_pts = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    centers, cmask, nvals = [], [], []
+    for d in range(cfg.adaptive_depth):
+        centers.append(dec_svh.get_voxel_centers(d))
+        cmask.append(dec_svh.grids[d].active_mask())
+        nv = normal_features[d]
+        if input_normal is not None:
+            # residual normal head: network corrects the trilinearly
+            # splatted input normals (sane from init, easier to train)
+            sidx = None if prior_splat_idx is None else prior_splat_idx[d]
+            prior = splat_normals_to_grid(dec_svh.grids[d], xyz,
+                                          input_normal, mask,
+                                          splat_idx=sidx)
+            nv = prior + nv
+        nvals.append(nv)
+    centers = jnp.concatenate(centers, 0)
+    cmask = jnp.concatenate(cmask, 0)
+    nvals = jnp.concatenate(nvals, 0)
+    m_vox = jnp.maximum(jnp.sum(cmask.astype(jnp.float32)), 1.0)
+
+    pos_w = jnp.where(mask, cfg.pos_weight / n_pts, 0.0)
+    normal_w = jnp.where(
+        cmask, cfg.normal_weight / m_vox * cfg.voxel_size ** 2, 0.0)
+    return field.solve(
+        xyz, pos_w, centers, normal_w, -nvals,
+        reg_weight=cfg.reg_weight, solver_tol=cfg.solver_tol,
+        max_iters=cfg.solver_max_iters,
+        pos_sup_idx=pos_sup_idx, normal_sup_idx=grad_sup_idx,
+        fused=cfg.fused_mode)
+
+
 def forward(cfg: PipelineConfig, params: Any, xyz: jnp.ndarray,
             mask: jnp.ndarray, feat: Optional[jnp.ndarray],
             gt_svh: Optional[SparseFeatureHierarchy] = None,
@@ -191,55 +250,25 @@ def forward(cfg: PipelineConfig, params: Any, xyz: jnp.ndarray,
         tables=None if pre is None else pre.unet_tables,
         point_splat_idx=None if pre is None else pre.point_splat_idx)
 
-    interp = InterpolatorFn(
-        params={"params": params["params"]["interpolators"]},
-        module=Interpolators(depth=cfg.tree_depth,
-                             kernel_dim=cfg.kernel_dim,
-                             n_hidden=cfg.interp_layers,
-                             hidden_dim=cfg.interp_hidden))
-
     if cfg.geometry == "kernel":
-        field = KernelField(
-            svh=dec_svh, features=out.basis_features, interp=interp,
-            kernel_dim=cfg.kernel_dim,
-            approx_kernel_grad=cfg.approx_kernel_grad)
-
-        # solve rows (reference weighting /root/reference/models/nksr_net.py:100-112)
         if cfg.feature == "normal" and input_normal is None:
             input_normal = feat
-        n_pts = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
-        centers, cmask, nvals = [], [], []
-        for d in range(cfg.adaptive_depth):
-            centers.append(dec_svh.get_voxel_centers(d))
-            cmask.append(dec_svh.grids[d].active_mask())
-            nv = out.normal_features[d]
-            if input_normal is not None:
-                # residual normal head: network corrects the trilinearly
-                # splatted input normals (sane from init, easier to train)
-                sidx = None
-                if pre is not None and \
-                        dec_svh.grids[d].key_hi is enc_svh.grids[d].key_hi:
-                    # pos_sup_idx[d] == the points' splat support at depth d
-                    sidx = pre.pos_sup_idx[d]
-                prior = splat_normals_to_grid(dec_svh.grids[d], xyz,
-                                              input_normal, mask,
-                                              splat_idx=sidx)
-                nv = prior + nv
-            nvals.append(nv)
-        centers = jnp.concatenate(centers, 0)
-        cmask = jnp.concatenate(cmask, 0)
-        nvals = jnp.concatenate(nvals, 0)
-        m_vox = jnp.maximum(jnp.sum(cmask.astype(jnp.float32)), 1.0)
-
-        pos_w = jnp.where(mask, cfg.pos_weight / n_pts, 0.0)
-        normal_w = jnp.where(
-            cmask, cfg.normal_weight / m_vox * cfg.voxel_size ** 2, 0.0)
-        field = field.solve_non_fused(
-            xyz, pos_w, centers, normal_w, -nvals,
-            reg_weight=cfg.reg_weight, solver_tol=cfg.solver_tol,
-            max_iters=cfg.solver_max_iters,
+        prior_idx = None
+        if pre is not None:
+            # pos_sup_idx[d] == the points' splat support at depth d,
+            # valid as the prior-splat table whenever the decoder grid IS
+            # the encoder grid (teacher forcing with the splat hierarchy)
+            prior_idx = tuple(
+                pre.pos_sup_idx[d]
+                if dec_svh.grids[d].key_hi is enc_svh.grids[d].key_hi
+                else None
+                for d in range(cfg.adaptive_depth))
+        field = solve_kernel_field(
+            cfg, params, xyz, mask, input_normal, dec_svh,
+            out.basis_features, out.normal_features,
             pos_sup_idx=None if pre is None else pre.pos_sup_idx,
-            normal_sup_idx=None if pre is None else pre.grad_sup_idx)
+            grad_sup_idx=None if pre is None else pre.grad_sup_idx,
+            prior_splat_idx=prior_idx)
     elif cfg.geometry == "neural":
         sdf_dec = DecoderFn(
             params={"params": params["params"]["sdf_decoder"]},

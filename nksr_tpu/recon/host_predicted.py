@@ -1,0 +1,263 @@
+"""Host-orchestrated *predicted-structure* inference (the reference's
+default behavior: the UNet prunes/refines the decoder hierarchy itself,
+/root/reference/models/nksr_net.py:74-78).
+
+Why a separate path: the structure-predicting UNet changes grid topology
+mid-forward, and every in-graph grid build is a device sort — XLA:TPU sort
+compile time scales linearly with array size, so the fully-traced program
+costs minutes of compile at scene scale (see core/host_build.py).  Here the
+forward is cut at each topology change into small *sort-free* jits, with
+the host doing the integer work in between:
+
+  phase 1 (device)   encoder + UNet encoder path + bottom decoder conv
+                     -> per-voxel structure logits at the coarsest level
+  per level (host)   argmax statuses -> prune to the decoder grid, expand
+                     children of REFINED voxels, build neighbor/parent/skip
+                     index tables (numpy + native merge-joins)
+  per level (device) transposed conv up + skip + decoder conv -> logits
+  final (device)     basis/normal heads on the pruned grids + kernel solve
+
+Device work stays batched dense math (MXU matmuls, gathers); each jit
+compiles in seconds.  D2H traffic is one int32 status vector per level;
+H2D is the index tables.  Numerically identical to the in-graph predicted
+path (tests/test_predicted_host.py checks grid and field parity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core import host_build as HB
+from ..core.svh import VOXEL_REFINED
+from ..models import pipeline as P
+from ..models.network import ConvBlock, PointEncoder
+from ..ops import gather_scatter as gs
+from .host_field import HostField
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(8, int(math.ceil(math.log2(max(n, 1)))))
+
+
+class _Timer:
+    """Step timing, printed when NKSR_TIMING=1 (perf triage aid)."""
+
+    def __init__(self):
+        import os
+        import time
+        self.on = os.environ.get("NKSR_TIMING", "0") == "1"
+        self.t = time.perf_counter if self.on else None
+        self.last = self.t() if self.on else 0.0
+
+    def lap(self, label: str):
+        if self.on:
+            now = self.t()
+            print(f"[timing] {label}: {now - self.last:.3f}s", flush=True)
+            self.last = now
+
+
+# --------------------------------------------------------------- device jits
+@functools.lru_cache(maxsize=16)
+def _phase1_fn(cfg: P.PipelineConfig):
+    """Encoder path + bottom decoder conv + bottom structure logits."""
+    D = cfg.tree_depth
+
+    def fn(params, xyz, mask, feat, enc_svh, tables, splat_idx):
+        up = params["params"]["unet"]
+        feat0 = PointEncoder(cfg.f_maps).apply(
+            {"params": params["params"]["encoder"]}, xyz, feat, mask,
+            enc_svh.grids[0], splat_idx=splat_idx)
+        enc_feats = []
+        f = feat0
+        for d in range(D):
+            f = ConvBlock(cfg.f_maps).apply(
+                {"params": up[f"enc_{d}"]}, f, tables.nbr[d],
+                enc_svh.grids[d].active_mask())
+            enc_feats.append(f)
+            if d < D - 1:
+                f = gs.gather_conv(f, tables.child[d], up[f"down_{d}"],
+                                   up[f"down_b_{d}"])
+                f = jnp.where(enc_svh.grids[d + 1].active_mask()[:, None],
+                              f, 0.0)
+        amask = enc_svh.grids[D - 1].active_mask()
+        g = ConvBlock(cfg.f_maps).apply(
+            {"params": up[f"dec_{D - 1}"]}, enc_feats[D - 1],
+            tables.nbr[D - 1], amask)
+        logits = nn.Dense(3).apply({"params": up[f"struct_{D - 1}"]}, g)
+        status = jnp.where(amask, jnp.argmax(logits, -1).astype(jnp.int32),
+                           0)
+        return tuple(enc_feats), g, status
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _level_fn(cfg: P.PipelineConfig, d: int):
+    """Build level-d decoder features: transposed conv from the parent
+    level (octant-specific weights), encoder skip, decoder conv, logits.
+    Mirrors the in-graph loop body (models/network.py SparseUNet)."""
+
+    def fn(params, g_parent, enc_feat, pidx, oct_id, eidx, nbr, amask):
+        up = params["params"]["unet"]
+        pfeat = gs.take_rows(g_parent, pidx)
+        w_up = up[f"up_{d + 1}"]   # created while processing level d+1
+        h = 0.0
+        for o in range(8):
+            yo = jnp.dot(pfeat, w_up[o],
+                         preferred_element_type=jnp.float32)
+            h = h + jnp.where((oct_id == o)[:, None], yo, 0.0)
+        skip = gs.take_rows(enc_feat, eidx)
+        g = jnp.where(amask[:, None], h + skip, 0.0)
+        g = ConvBlock(cfg.f_maps).apply(
+            {"params": up[f"dec_{d}"]}, g, nbr, amask)
+        logits = nn.Dense(3).apply({"params": up[f"struct_{d}"]}, g)
+        status = jnp.where(amask, jnp.argmax(logits, -1).astype(jnp.int32),
+                           0)
+        return g, status
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _final_fn(cfg: P.PipelineConfig):
+    """Heads on the pruned decoder grids + kernel solve (sort-free)."""
+    from ..fields import LayerField
+
+    def fn(params, xyz, mask, input_normal, dec_svh, g_convs, head_idx,
+           pos_sup, grad_sup, prior_idx):
+        up = params["params"]["unet"]
+        basis, normals = [], []
+        for d in range(cfg.tree_depth):
+            am = dec_svh.grids[d].active_mask()
+            gd = gs.take_rows(g_convs[d], head_idx[d])
+            gd = jnp.where(am[:, None], gd, 0.0)
+            basis.append(nn.Dense(cfg.basis_dim).apply(
+                {"params": up[f"basis_{d}"]}, gd))
+            nf = nn.Dense(3).apply({"params": up[f"normal_{d}"]}, gd)
+            normals.append(jnp.where(am[:, None], nf, 0.0))
+        field = P.solve_kernel_field(
+            cfg, params, xyz, mask, input_normal, dec_svh,
+            tuple(basis), tuple(normals),
+            pos_sup_idx=pos_sup, grad_sup_idx=grad_sup,
+            prior_splat_idx=prior_idx)
+        return field.set_mask_field(LayerField(dec_svh, cfg.adaptive_depth))
+
+    return jax.jit(fn)
+
+
+# ------------------------------------------------------------- orchestrator
+def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
+                               xyz: np.ndarray, xyz_p: np.ndarray,
+                               mask: np.ndarray, feat) -> HostField:
+    """Predicted-structure reconstruction with host-built grids/tables.
+
+    ``xyz``: (N, 3) raw points; ``xyz_p``/``mask``: capacity-padded; ``feat``
+    the padded per-point input features (= normals for feature='normal').
+    """
+    D = cfg.tree_depth
+    stencil = gs.stencil_offsets(3)
+    n, cap_pts = xyz.shape[0], xyz_p.shape[0]
+    tm = _Timer()
+
+    # encoder hierarchy: full point splat, exact capacities
+    grids, orders = HB.build_splat_grids_ex(xyz, cfg.voxel_size, D)
+    caps = tuple(_next_pow2(len(g.keys)) for g in grids)
+    cfg = dataclasses.replace(cfg, capacities=caps)
+    enc_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
+    tm.lap("splat grids")
+    tables = HB.build_unet_tables(grids, caps, stencil)
+    tm.lap("unet tables")
+    # only the finest level's splat table is needed by the encoder
+    splat0 = HB.support_indices(grids[:1], caps[:1], xyz,
+                                presorted=orders[:1])[0]
+    splat_idx = np.concatenate(
+        [splat0, np.full((cap_pts - n, 8), -1, np.int32)])
+    tm.lap("splat support")
+
+    enc_feats, g, status_dev = _phase1_fn(cfg)(
+        params, jnp.asarray(xyz_p), jnp.asarray(mask), feat, enc_svh,
+        tables, jnp.asarray(splat_idx))
+    status_dev.block_until_ready()
+    tm.lap("phase1 device")
+
+    # level loop: host prunes/refines, device runs the next level's convs
+    cand = grids[D - 1]
+    cand_cap = caps[D - 1]
+    g_convs = [None] * D
+    g_convs[D - 1] = g
+    dec_host = [None] * D
+    head_rows = [None] * D
+    for d in range(D - 1, -1, -1):
+        nvox = min(len(cand.keys), cand_cap)
+        st = np.asarray(status_dev)[:nvox]
+        keep = st > 0
+        dec_host[d] = HB.prune(cand, keep)
+        head_rows[d] = np.nonzero(keep)[0].astype(np.int32)
+        if d == 0:
+            break
+        child, pidx, oct_id = HB.children_of(
+            cand, np.nonzero(st == VOXEL_REFINED)[0])
+        ccap = _next_pow2(len(child.keys))
+        cn = len(child.keys)
+        nbr = HB.nbr_table(child, ccap, stencil)
+        eidx = np.full(ccap, -1, np.int32)
+        eidx[:cn] = np.where(
+            (e := HB.keys_lookup(grids[d - 1], child.keys)) < caps[d - 1],
+            e, -1)
+        pidx_p = np.full(ccap, -1, np.int32)
+        pidx_p[:cn] = pidx
+        oct_p = np.zeros(ccap, np.int32)
+        oct_p[:cn] = oct_id
+        amask = np.arange(ccap) < cn
+        g, status_dev = _level_fn(cfg, d - 1)(
+            params, g_convs[d], enc_feats[d - 1], jnp.asarray(pidx_p),
+            jnp.asarray(oct_p), jnp.asarray(eidx), jnp.asarray(nbr),
+            jnp.asarray(amask))
+        g_convs[d - 1] = g
+        cand, cand_cap = child, ccap
+    tm.lap("level loop")
+
+    # final: heads + solve on the pruned hierarchy
+    dec_caps = tuple(_next_pow2(len(g_.keys)) for g_ in dec_host)
+    dec_svh = HB.to_device_svh(dec_host, dec_caps, cfg.voxel_size)
+    head_idx = tuple(
+        jnp.asarray(np.concatenate(
+            [r, np.full(dec_caps[d] - len(r), -1, np.int32)]))
+        for d, r in enumerate(head_rows))
+
+    tm.lap("dec upload")
+    pos_sup_n = HB.support_indices(dec_host, dec_caps, xyz,
+                                   presorted=orders)
+    tm.lap("dec support")
+    pos_sup = tuple(
+        np.concatenate([s, np.full((cap_pts - n, 8), -1, np.int32)])
+        for s in pos_sup_n)
+    centers_parts = []
+    for d in range(cfg.adaptive_depth):
+        cpad = np.zeros((dec_caps[d], 3), np.float32)
+        nn_ = min(len(dec_host[d].keys), dec_caps[d])
+        cpad[:nn_] = dec_host[d].coords[:nn_] * dec_host[d].voxel_size
+        centers_parts.append(cpad)
+    grad_sup = HB.support_indices(dec_host, dec_caps,
+                                  np.concatenate(centers_parts, 0))
+    prior_idx = tuple(jnp.asarray(pos_sup[d])
+                      for d in range(cfg.adaptive_depth))
+
+    input_normal = feat if cfg.feature == "normal" else None
+    field = _final_fn(cfg)(
+        params, jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
+        dec_svh, tuple(g_convs), head_idx,
+        tuple(jnp.asarray(s) for s in pos_sup),
+        tuple(jnp.asarray(s) for s in grad_sup), prior_idx)
+    if tm.on:
+        jax.block_until_ready(field.alpha)
+    tm.lap("final solve")
+    return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth)

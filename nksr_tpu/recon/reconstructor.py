@@ -123,7 +123,8 @@ class Reconstructor:
         cfg = self._runtime_config(
             xyz.shape[0], xyz, vs, approx_kernel_grad, solver_tol,
             solver_max_iters,
-            feature="normal" if normal is not None else "sensor")
+            feature="normal" if normal is not None else "sensor",
+            fused_mode=fused_mode)
         if structure is not None:
             cfg = dataclasses.replace(cfg, structure_mode=structure)
 
@@ -142,7 +143,15 @@ class Reconstructor:
 
         if cfg.structure_mode == "splat":
             return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat)
+        if cfg.structure_mode == "predicted":
+            # two-phase host-orchestrated variant of the reference default:
+            # sort-free device jits, host grid pruning between levels
+            from .host_predicted import reconstruct_predicted_host
+            return reconstruct_predicted_host(
+                self.network.params, cfg, xyz, xyz_p, mask, feat)
 
+        # 'predicted_ingraph': the fully-traced single-jit forward — used
+        # by training and as the parity reference for the host path
         fwd = _compiled_forward(cfg)
         field = fwd(self.network.params, jnp.asarray(xyz_p),
                     jnp.asarray(mask), feat)
@@ -210,7 +219,8 @@ class Reconstructor:
     def _runtime_config(self, n_pts: int, xyz: np.ndarray, vs: float,
                         approx_kernel_grad: bool, solver_tol: float,
                         solver_max_iters: Optional[int],
-                        feature: str) -> P.PipelineConfig:
+                        feature: str,
+                        fused_mode: bool = False) -> P.PipelineConfig:
         # splat-corner capacity estimate from a subsample (the host path
         # replaces these with exact counts from its own build)
         caps = []
@@ -232,7 +242,7 @@ class Reconstructor:
             self.config, voxel_size=vs, capacities=tuple(caps),
             approx_kernel_grad=approx_kernel_grad, solver_tol=solver_tol,
             solver_max_iters=solver_max_iters or self.config.solver_max_iters,
-            feature=feature)
+            feature=feature, fused_mode=fused_mode)
 
 
 def get_estimate_normal_preprocess_fn(knn: int = 64,

@@ -225,3 +225,31 @@ class TestKernelSolve:
         fd = (float(loss(tuple(b1))) - float(loss(tuple(b2)))) / (2 * eps)
         an = float(g[0][10, 0])
         assert abs(fd - an) < 0.15 * (abs(fd) + abs(an) + 1e-4), (fd, an)
+
+
+class TestFusedSolve:
+    def test_fused_matches_non_fused(self):
+        """fused_mode recomputes supports inside each CG matvec; the math
+        is identical so the fitted coefficients must match."""
+        xyz, nrm = sphere_points(600, seed=7)
+        field = make_field(xyz)
+        f_ref = solve_sphere(field, xyz, nrm, solver_tol=1e-8,
+                             max_iters=200)
+        n = xyz.shape[0]
+        g0 = field.svh.grids[0]
+        centers = g0.voxel_centers()
+        gmask = g0.active_mask()
+        m = jnp.sum(gmask)
+        cn = centers / (jnp.linalg.norm(centers, axis=-1,
+                                        keepdims=True) + 1e-9)
+        vs = field.svh.voxel_size
+        pos_w = jnp.full((n,), 1e4 / n)
+        normal_w = jnp.where(gmask, 1e4 / m * vs ** 2, 0.0)
+        f_fused = field.solve_fused(jnp.asarray(xyz), pos_w, centers,
+                                    normal_w, -cn, solver_tol=1e-8,
+                                    max_iters=200)
+        # CG iterate paths differ by fusion/reassociation; compare the
+        # converged solutions absolutely (coefficients are O(1e-1))
+        for a, b in zip(f_ref.alpha, f_fused.alpha):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-4)
