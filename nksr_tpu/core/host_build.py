@@ -80,21 +80,24 @@ def build_splat_grids_ex(xyz: np.ndarray, voxel_size: float, depth: int):
     deduping 8N corner keys directly.  The sorted base keys + order are
     returned for reuse by ``support_indices`` (same keys).
     """
+    from ..native import merge_unique, radix_argsort
+
     grids, orders = [], []
+    deltas = np.array([_offset_delta(o) for o in _OFFS2], np.int64)
     for d in range(depth):
         vs = voxel_size * (2.0 ** d)
         base = pack64(np.floor(xyz / vs).astype(np.int64))
-        order = np.argsort(base, kind="stable")
+        order = radix_argsort(base)
         sb = base[order]
         if len(sb):
             first = np.concatenate([[True], sb[1:] != sb[:-1]])
             ub = sb[first]
         else:
             ub = sb
-        # corner keys by linear packing: pack64(c + off) = key + delta
-        deltas = np.array([_offset_delta(o) for o in _OFFS2], np.int64)
-        corners = (ub[:, None] + deltas[None]).ravel()
-        keys = np.unique(corners)
+        # corner keys by linear packing: pack64(c + off) = key + delta,
+        # and each shifted copy of the sorted bases is sorted -> the
+        # corner set is an 8-way merge, no sort
+        keys = merge_unique(ub, deltas)
         grids.append(HostGrid(coords=unpack64(keys), keys=keys,
                               voxel_size=vs))
         orders.append((sb, order))
@@ -145,12 +148,13 @@ def children_of(grid: HostGrid, refined_rows: np.ndarray
     in-graph upsampling grid build (models/network.py SparseUNet).
     Children of distinct parents never collide, so no dedup is needed.
     """
+    from ..native import radix_argsort
     pk = grid.keys[refined_rows]
     doubled = 2 * pk - pack64(np.zeros((1, 3), np.int64))
     deltas = np.array([_offset_delta(o) for o in _OFFS2], np.int64)
     ckeys = (doubled[:, None] + deltas[None]).ravel()
     parent = np.repeat(refined_rows, 8)
-    order = np.argsort(ckeys, kind="stable")
+    order = radix_argsort(ckeys)
     ckeys = ckeys[order]
     coords = unpack64(ckeys)
     oct_ = coords - 2 * np.floor_divide(coords, 2)
@@ -246,8 +250,9 @@ def support_indices(grids: Sequence[HostGrid], capacities: Sequence[int],
         if presorted is not None:
             sorted_base, order = presorted[i]
         else:
+            from ..native import radix_argsort
             base = pack64(np.floor(x / g.voxel_size).astype(np.int64))
-            order = np.argsort(base, kind="stable")
+            order = radix_argsort(base)
             sorted_base = base[order]
         idx_sorted = _stencil_tables(g.keys, _OFFS2,
                                      base_keys=sorted_base)

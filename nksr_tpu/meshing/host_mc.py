@@ -40,12 +40,13 @@ def extraction_lattice_host(host_grids, adaptive_depth: int,
                             -1).reshape(-1, 3).astype(np.int64)
             parts.append((g.coords.astype(np.int64)[:, None, :] * f
                           + offs[None]).reshape(-1, 3))
-    base = np.concatenate(parts, 0)
+    from ..native import merge_unique, sort_unique
+    base = sort_unique(HB.pack64(np.concatenate(parts, 0)))
     d6 = np.concatenate([np.eye(3, dtype=np.int64),
                          -np.eye(3, dtype=np.int64),
                          np.zeros((1, 3), np.int64)])
-    base = (base[:, None, :] + d6[None]).reshape(-1, 3)
-    return HB.unpack64(np.unique(HB.pack64(base))).astype(np.int64)
+    d6k = np.array([HB._offset_delta(o) for o in d6], np.int64)
+    return HB.unpack64(merge_unique(base, np.sort(d6k))).astype(np.int64)
 
 
 def host_extract_dual_mesh(hf, mise_iter: int = 0,
@@ -78,10 +79,13 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
     vox_keys = HB.pack64(vox)
     neg_default = -abs(s)
 
-    # ---- unique corner lattice
+    # ---- unique corner lattice (8-way merge over the sorted voxel keys)
+    from ..native import merge_unique
     corner_offs = _CORNER_OFFS.astype(np.int64)
     vox_corners = vox[:, None, :] + corner_offs[None]      # (V, 8, 3)
-    corner_keys = np.unique(HB.pack64(vox_corners.reshape(-1, 3)))
+    corner_deltas = np.sort(np.array(
+        [HB._offset_delta(o) for o in corner_offs], np.int64))
+    corner_keys = merge_unique(vox_keys, corner_deltas)
     cc = HB.unpack64(corner_keys).astype(np.int64)         # (Q, 3)
     corner_grid = HB.HostGrid(coords=cc.astype(np.int32), keys=corner_keys,
                               voxel_size=s)

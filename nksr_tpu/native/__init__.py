@@ -52,6 +52,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.radix_argsort_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.radix_sort_unique_i64.restype = ctypes.c_int64
+    lib.radix_sort_unique_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.merge_unique_i64.restype = ctypes.c_int64
+    lib.merge_unique_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64)]
     _LIB = lib
     return _LIB
 
@@ -93,6 +104,49 @@ def keysearch(sorted_keys: np.ndarray, queries: np.ndarray,
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), q.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
     return out
+
+
+def radix_argsort(keys: np.ndarray) -> np.ndarray:
+    """Stable ascending argsort of int64 keys (radix; numpy fallback)."""
+    lib = _load()
+    k = np.ascontiguousarray(keys, np.int64)
+    if lib is None:
+        return np.argsort(k, kind="stable")
+    out = np.empty(k.shape[0], np.int64)
+    lib.radix_argsort_i64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def sort_unique(keys: np.ndarray) -> np.ndarray:
+    """Sorted unique int64 keys (radix; numpy fallback)."""
+    lib = _load()
+    k = np.ascontiguousarray(keys, np.int64).copy()
+    if lib is None:
+        return np.unique(k)
+    m = lib.radix_sort_unique_i64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k.shape[0])
+    return k[:m]
+
+
+def merge_unique(sorted_base: np.ndarray, deltas: np.ndarray) -> np.ndarray:
+    """Sorted unique union of {sorted_base + d for d in deltas}.
+
+    The k shifted copies of a sorted array are each sorted, so the union
+    is a k-way merge — no sort (the corner/child-expansion hot path of
+    core/host_build.py)."""
+    lib = _load()
+    base = np.ascontiguousarray(sorted_base, np.int64)
+    d = np.ascontiguousarray(deltas, np.int64)
+    if lib is None:
+        return np.unique((base[:, None] + d[None]).ravel())
+    out = np.empty(base.shape[0] * d.shape[0], np.int64)
+    m = lib.merge_unique_i64(
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), base.shape[0],
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), d.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out[:m]
 
 
 class KDTree:

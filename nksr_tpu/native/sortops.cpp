@@ -1,0 +1,112 @@
+// Sorting primitives for the host-side grid builder (core/host_build.py).
+//
+// The TPU pipeline keeps every sort OFF the device (XLA:TPU sort compile
+// time scales with array size — DESIGN.md); the host therefore sorts
+// packed int64 voxel keys on every reconstruct call, and numpy's
+// comparison argsort is the bottleneck.  LSD radix sort is ~4-8x faster,
+// and key distributions here are clustered so most high bytes are
+// constant and their passes skip entirely.
+//
+// C ABI for ctypes (see __init__.py).  Single-threaded on purpose: this
+// sandbox pins 1 CPU core, and radix passes are memory-bound anyway.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// byte b of key, biased so signed int64 order == unsigned byte order
+inline uint32_t digit(int64_t k, int b) {
+  uint64_t u = (uint64_t)k ^ 0x8000000000000000ull;  // sign flip
+  return (uint32_t)((u >> (8 * b)) & 0xFF);
+}
+
+// which of the 8 byte positions actually vary across the array
+uint32_t varying_bytes(const int64_t* keys, int64_t n) {
+  if (n == 0) return 0;
+  uint64_t acc_or = 0, first = (uint64_t)keys[0] ^ 0x8000000000000000ull;
+  for (int64_t i = 1; i < n; ++i) {
+    acc_or |= ((uint64_t)keys[i] ^ 0x8000000000000000ull) ^ first;
+  }
+  uint32_t mask = 0;
+  for (int b = 0; b < 8; ++b)
+    if ((acc_or >> (8 * b)) & 0xFF) mask |= 1u << b;
+  return mask;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stable LSD radix argsort: fills order[0..n) with the permutation that
+// sorts keys ascending.  Skips byte positions that are constant.
+void radix_argsort_i64(const int64_t* keys, int64_t n, int64_t* order) {
+  std::vector<int64_t> kbuf(keys, keys + n), ktmp(n);
+  std::vector<int64_t> obuf(n), otmp(n);
+  for (int64_t i = 0; i < n; ++i) obuf[i] = i;
+  uint32_t bytes = varying_bytes(keys, n);
+  int64_t hist[257];
+  for (int b = 0; b < 8; ++b) {
+    if (!((bytes >> b) & 1)) continue;
+    std::memset(hist, 0, sizeof(hist));
+    for (int64_t i = 0; i < n; ++i) ++hist[digit(kbuf[i], b) + 1];
+    for (int d = 0; d < 256; ++d) hist[d + 1] += hist[d];
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t pos = hist[digit(kbuf[i], b)]++;
+      ktmp[pos] = kbuf[i];
+      otmp[pos] = obuf[i];
+    }
+    kbuf.swap(ktmp);
+    obuf.swap(otmp);
+  }
+  std::memcpy(order, obuf.data(), n * sizeof(int64_t));
+}
+
+// In-place radix sort + dedup; returns the unique count.
+int64_t radix_sort_unique_i64(int64_t* keys, int64_t n) {
+  if (n == 0) return 0;
+  std::vector<int64_t> kbuf(keys, keys + n), ktmp(n);
+  uint32_t bytes = varying_bytes(keys, n);
+  int64_t hist[257];
+  for (int b = 0; b < 8; ++b) {
+    if (!((bytes >> b) & 1)) continue;
+    std::memset(hist, 0, sizeof(hist));
+    for (int64_t i = 0; i < n; ++i) ++hist[digit(kbuf[i], b) + 1];
+    for (int d = 0; d < 256; ++d) hist[d + 1] += hist[d];
+    for (int64_t i = 0; i < n; ++i) ktmp[hist[digit(kbuf[i], b)]++] = kbuf[i];
+    kbuf.swap(ktmp);
+  }
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (i == 0 || kbuf[i] != kbuf[i - 1]) keys[m++] = kbuf[i];
+  return m;
+}
+
+// Merge-unique of k sorted shifted copies: the union of {base + delta_j}
+// for sorted `base` and k deltas, ascending, deduped.  Returns count.
+// (Corner/child expansion: each shifted column is already sorted, so the
+// union is a k-way merge — no sort at all.)
+int64_t merge_unique_i64(const int64_t* base, int64_t n,
+                         const int64_t* deltas, int32_t k, int64_t* out) {
+  if (n == 0 || k == 0) return 0;
+  std::vector<int64_t> ptr(k, 0);
+  int64_t m = 0;
+  int64_t last = 0;
+  bool have_last = false;
+  for (;;) {
+    int best = -1;
+    int64_t bv = 0;
+    for (int j = 0; j < k; ++j) {
+      if (ptr[j] >= n) continue;
+      int64_t v = base[ptr[j]] + deltas[j];
+      if (best < 0 || v < bv) { best = j; bv = v; }
+    }
+    if (best < 0) break;
+    ++ptr[best];
+    if (!have_last || bv != last) { out[m++] = bv; last = bv; have_last = true; }
+  }
+  return m;
+}
+
+}  // extern "C"
