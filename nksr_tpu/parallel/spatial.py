@@ -51,6 +51,145 @@ def chunk_forward_sharded(cfg: P.PipelineConfig, mesh: Mesh, params,
               chunk_batch["feat"])
 
 
+def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
+                               normal: Optional[np.ndarray],
+                               sensor: Optional[np.ndarray],
+                               chunk_size: float, mesh: Mesh,
+                               approx_kernel_grad: bool = False,
+                               solver_tol: float = 1e-5):
+    """Chunked reconstruction with the chunk axis sharded over a device
+    mesh — the TPU-native scale-out of the reference's serial chunk loop
+    (NKSR-USAGE.md:88-126; SURVEY.md §5 north star).
+
+    The host builds every chunk's grids + index tables (sort-free device
+    programs, core/host_build.py) at COMMON per-level capacities so the
+    per-chunk pytrees stack into (B, ...) arrays; one ``shard_map``-ped,
+    ``vmap``-ped forward then solves all chunks concurrently, B/n_dev per
+    chip.  Chunk independence is geometric (the host chunker adds halos
+    wider than the kernel support), so no cross-chip exchange is needed
+    for the solve itself; meshes stitch exactly like the serial path.
+    """
+    import dataclasses
+    import math
+
+    from ..core import host_build as HB
+    from ..models import pipeline as P
+    from ..ops.gather_scatter import stencil_offsets
+    from ..recon.chunking import ChunkedField
+    from ..recon.host_field import HostField
+
+    cfg = recon.config
+    vs = cfg.voxel_size
+    halo = vs * (2 ** cfg.tree_depth) + 2 * vs
+    lo = xyz.min(0)
+    ids = np.floor((xyz - lo) / chunk_size).astype(np.int64)
+    uniq = np.unique(ids, axis=0)
+
+    def _pow2(n):
+        return 1 << max(8, int(math.ceil(math.log2(max(n, 1)))))
+
+    # ---- host: per-chunk grids + capacities
+    sel_list, grids_list, orders_list, cids = [], [], [], []
+    for cid in uniq:
+        c_lo = lo + cid * chunk_size
+        c_hi = c_lo + chunk_size
+        sel = np.all((xyz >= c_lo - halo) & (xyz < c_hi + halo), axis=1)
+        if sel.sum() < 16:
+            continue
+        g, o = HB.build_splat_grids_ex(xyz[sel], vs, cfg.tree_depth)
+        sel_list.append(sel)
+        grids_list.append(g)
+        orders_list.append(o)
+        cids.append(cid)
+    if not sel_list:
+        return ChunkedField([], chunk_size, vs, origin=lo,
+                            id_lo=uniq.min(0), id_hi=uniq.max(0))
+    caps = tuple(_pow2(max(len(g[d].keys) for g in grids_list))
+                 for d in range(cfg.tree_depth))
+    cap_pts = _pow2(max(int(s.sum()) for s in sel_list))
+    cfg = dataclasses.replace(
+        cfg, capacities=caps, approx_kernel_grad=approx_kernel_grad,
+        solver_tol=solver_tol, structure_mode="splat",
+        feature="normal" if normal is not None else "sensor")
+
+    # ---- host: per-chunk padded arrays + tables, then stack
+    stencil = stencil_offsets(3)
+    xyzs, masks, feats, pres = [], [], [], []
+    for sel, grids, orders in zip(sel_list, grids_list, orders_list):
+        cx = xyz[sel]
+        n = cx.shape[0]
+        pad = cap_pts - n
+        xp = np.pad(cx, ((0, pad), (0, 0)))
+        mk = np.zeros(cap_pts, bool)
+        mk[:n] = True
+        ft = P.point_features(
+            cfg, jnp.asarray(xp),
+            normal=None if normal is None else jnp.asarray(
+                np.pad(normal[sel], ((0, pad), (0, 0)))),
+            sensor=None if sensor is None else jnp.asarray(
+                np.pad(sensor[sel], ((0, pad), (0, 0)))))
+        enc_svh = HB.to_device_svh(grids, caps, vs)
+        tables = HB.build_unet_tables(grids, caps, stencil)
+        sup = HB.support_indices(grids, caps, cx, presorted=orders)
+        sup = tuple(np.concatenate(
+            [s, np.full((pad, 8), -1, np.int32)]) for s in sup)
+        centers = []
+        for d in range(cfg.adaptive_depth):
+            cpad = np.zeros((caps[d], 3), np.float32)
+            nn = min(len(grids[d].keys), caps[d])
+            cpad[:nn] = grids[d].coords[:nn] * grids[d].voxel_size
+            centers.append(cpad)
+        grad_sup = HB.support_indices(grids, caps,
+                                      np.concatenate(centers, 0))
+        pres.append(P.Precomputed(
+            enc_svh=enc_svh, unet_tables=tables, point_splat_idx=sup[0],
+            pos_sup_idx=tuple(jnp.asarray(s) for s in sup),
+            grad_sup_idx=tuple(jnp.asarray(s) for s in grad_sup)))
+        xyzs.append(xp)
+        masks.append(mk)
+        feats.append(np.asarray(ft))
+
+    # pad the chunk axis to a multiple of the mesh size (masked-out dupes)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    b = len(xyzs)
+    b_pad = -b % n_dev
+    for _ in range(b_pad):
+        xyzs.append(xyzs[0])
+        masks.append(np.zeros_like(masks[0]))
+        feats.append(feats[0])
+        pres.append(pres[0])
+    stack = lambda xs: jax.tree_util.tree_map(
+        lambda *l: jnp.stack([jnp.asarray(x) for x in l]), *xs)
+    batch = (jnp.asarray(np.stack(xyzs)), jnp.asarray(np.stack(masks)),
+             jnp.asarray(np.stack(feats)), stack(pres))
+
+    def one(p, x, m, f, pre):
+        out = P.forward(cfg, p, x, m, f, gt_svh=pre.enc_svh,
+                        use_gt_structure=True, pre=pre)
+        return out.field
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(PS(), PS("data"), PS("data"), PS("data"), PS("data")),
+        out_specs=PS("data"), check_vma=False)
+    def shard_fn(p, x, m, f, pre):
+        return jax.vmap(lambda xi, mi, fi, pi: one(p, xi, mi, fi, pi))(
+            x, m, f, pre)
+
+    fields = shard_fn(recon.network.params, *batch)
+
+    chunks = []
+    take = lambda tree, i: jax.tree_util.tree_map(lambda a: a[i], tree)
+    for i, cid in enumerate(cids):
+        hf = HostField(jax.device_put(take(fields, i)), cfg,
+                       grids_list[i], caps, cfg.adaptive_depth)
+        c_lo = lo + cid * chunk_size
+        chunks.append({"cid": cid, "lo": c_lo,
+                       "hi": c_lo + chunk_size, "field": hf})
+    return ChunkedField(chunks, chunk_size, vs, origin=lo,
+                        id_lo=uniq.min(0), id_hi=uniq.max(0))
+
+
 def halo_exchange_1d(mesh: Mesh, axis: str, values: jnp.ndarray,
                      halo: int):
     """Exchange 1-D slab halos between mesh neighbors with ppermute.

@@ -96,7 +96,8 @@ class Reconstructor:
                     solver_max_iters: Optional[int] = None,
                     fused_mode: bool = False,
                     structure: Optional[str] = None,
-                    mise_iter: int = 0):
+                    mise_iter: int = 0,
+                    mesh=None):
         xyz = np.asarray(input_xyz, np.float32)
         normal = None if input_normal is None else np.asarray(
             input_normal, np.float32)
@@ -114,6 +115,13 @@ class Reconstructor:
                 raise ValueError(
                     "detail tuning is not supported in chunk mode; "
                     "prescale your cloud instead")
+            if mesh is not None:
+                # chunk axis sharded over the device mesh (parallel/)
+                from ..parallel.spatial import reconstruct_chunks_sharded
+                return reconstruct_chunks_sharded(
+                    self, xyz, normal, sens, chunk_size, mesh,
+                    approx_kernel_grad=approx_kernel_grad,
+                    solver_tol=solver_tol)
             from .chunking import reconstruct_chunked
             return reconstruct_chunked(self, xyz, normal, sens, chunk_size,
                                        approx_kernel_grad=approx_kernel_grad,
@@ -163,19 +171,24 @@ class Reconstructor:
         from ..core import host_build as HB
         from ..ops.gather_scatter import stencil_offsets
         from .host_field import HostField
+        from .host_predicted import _Timer
 
+        tm = _Timer()
         # one pass builds grids AND the sorted point-base keys reused for
         # the support tables; capacities come from the exact counts
         grids, orders = HB.build_splat_grids_ex(
             xyz, cfg.voxel_size, cfg.tree_depth)
+        tm.lap("splat grids")
         caps = tuple(max(_next_pow2(int(len(g.keys) * 1.05)), 512)
                      for g in grids)
         cfg = dataclasses.replace(cfg, capacities=caps)
         enc_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
         tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
+        tm.lap("unet tables")
         n, cap_pts = xyz.shape[0], xyz_p.shape[0]
         pos_sup_n = HB.support_indices(grids, caps, xyz,
                                        presorted=orders)
+        tm.lap("support")
         pos_sup = tuple(
             np.concatenate([s, np.full((cap_pts - n, 8), -1, np.int32)])
             for s in pos_sup_n)
@@ -196,6 +209,10 @@ class Reconstructor:
         fwd = _compiled_forward_pre(cfg)
         field = fwd(self.network.params, jnp.asarray(xyz_p),
                     jnp.asarray(mask), feat, pre)
+        if tm.on:
+            import jax as _jax
+            _jax.block_until_ready(field.alpha)
+        tm.lap("device fwd+solve")
         return HostField(field, cfg, grids, caps, cfg.adaptive_depth)
 
     # -------------------------------------------------------------- helpers

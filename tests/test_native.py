@@ -1,0 +1,48 @@
+"""Native (C++) host runtime: sort primitives vs numpy oracles."""
+
+import numpy as np
+import pytest
+
+from nksr_tpu.native import (merge_unique, radix_argsort, sort_unique,
+                             sorted_join, keysearch, using_native)
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 1000, 100000])
+def test_radix_argsort_matches_numpy(n):
+    rng = np.random.default_rng(n)
+    k = rng.integers(-10 ** 12, 10 ** 12, n).astype(np.int64)
+    np.testing.assert_array_equal(k[radix_argsort(k)], np.sort(k))
+
+
+def test_radix_argsort_stable():
+    rng = np.random.default_rng(0)
+    k = np.repeat(np.arange(5, dtype=np.int64), 40)[rng.permutation(200)]
+    o = radix_argsort(k)
+    for v in range(5):
+        idx = o[k[o] == v]
+        assert (np.diff(idx) > 0).all()
+
+
+def test_sort_unique_matches_numpy():
+    rng = np.random.default_rng(1)
+    k = rng.integers(-1000, 1000, 50000).astype(np.int64)
+    np.testing.assert_array_equal(sort_unique(k), np.unique(k))
+
+
+def test_merge_unique_matches_numpy():
+    rng = np.random.default_rng(2)
+    base = np.unique(rng.integers(-10 ** 9, 10 ** 9, 5000).astype(np.int64))
+    deltas = rng.integers(-100, 100, 27).astype(np.int64)
+    ref = np.unique((base[:, None] + deltas[None]).ravel())
+    np.testing.assert_array_equal(merge_unique(base, deltas), ref)
+
+
+def test_joins_match_searchsorted():
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 10 ** 6, 4000).astype(np.int64))
+    q = np.sort(rng.integers(0, 10 ** 6, 9000).astype(np.int64))
+    pos = np.searchsorted(keys, q)
+    pc = np.minimum(pos, len(keys) - 1)
+    ref = np.where(keys[pc] == q, pc, -1).astype(np.int32)
+    np.testing.assert_array_equal(sorted_join(keys, q), ref)
+    np.testing.assert_array_equal(keysearch(keys, q), ref)
