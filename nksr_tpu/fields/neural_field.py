@@ -45,27 +45,38 @@ class NeuralField:
     mask_field: Optional[Any] = None
     texture_field: Optional[Any] = None
 
-    def _pooled(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _pooled(self, x: jnp.ndarray, sup_idx=None) -> jnp.ndarray:
         from ..core import coords as C
-        sets, queries, weights = [], [], []
-        for d in range(self.svh.depth):
-            g = self.svh.grids[d]
-            corner, w = point_splat_coords(g, x)
-            sets.append((g.key_hi, g.key_lo, g.num_voxels))
-            queries.append(C.pack(corner.reshape(-1, 3)))
-            weights.append(w)
-        idxs = C.multi_search_sorted(sets, queries)
+        weights = []
+        if sup_idx is None:
+            # one segmented sort-join for all depths (in-graph path);
+            # host-orchestrated callers pass precomputed ``sup_idx``
+            sets, queries = [], []
+            for d in range(self.svh.depth):
+                g = self.svh.grids[d]
+                corner, w = point_splat_coords(g, x)
+                sets.append((g.key_hi, g.key_lo, g.num_voxels))
+                queries.append(C.pack(corner.reshape(-1, 3)))
+                weights.append(w)
+            idxs = C.multi_search_sorted(sets, queries)
+            sup_idx = tuple(idxs[d].reshape(x.shape[0], 8)
+                            for d in range(self.svh.depth))
+        else:
+            for d in range(self.svh.depth):
+                _, w = point_splat_coords(self.svh.grids[d], x)
+                weights.append(w)
         h = 0.0
         for d in range(self.svh.depth):
-            idx = idxs[d].reshape(x.shape[0], 8)
+            idx = sup_idx[d]
             f = take_rows(self.features[d], idx)
             w = jnp.where(idx >= 0, weights[d], 0.0)
             h = h + jnp.einsum("qs,qsc->qc", w, f)
         return h
 
-    def evaluate_f(self, x: jnp.ndarray, grad: bool = False) -> FieldEval:
+    def evaluate_f(self, x: jnp.ndarray, grad: bool = False,
+                   sup_idx=None) -> FieldEval:
         def value(pts):
-            out = self.decoder(self._pooled(pts))
+            out = self.decoder(self._pooled(pts, sup_idx=sup_idx))
             return out[..., 0] if out.ndim > 1 else out
         if grad:
             v, vjp = jax.vjp(value, x)

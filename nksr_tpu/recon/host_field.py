@@ -28,16 +28,31 @@ def _eval_fn(cfg, grad: bool):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=16)
+def _udf_mask_fn(cfg):
+    """Jitted sort-free UDF-mask evaluation (NeuralField mask head)."""
+    def fn(mask_field, x, sup_idx):
+        v = mask_field.evaluate_f(x, sup_idx=sup_idx).value
+        return mask_field.level_set - v
+    return jax.jit(fn)
+
+
 class HostField:
     """Solved kernel field + host-side structure for fast queries."""
 
     def __init__(self, field, cfg, host_grids: List[HB.HostGrid],
-                 capacities: Sequence[int], adaptive_depth: int):
+                 capacities: Sequence[int], adaptive_depth: int,
+                 udf_host: Optional[List[HB.HostGrid]] = None,
+                 udf_caps: Optional[Sequence[int]] = None):
         self.field = field
         self.cfg = cfg
         self.host_grids = host_grids
         self.capacities = tuple(capacities)
         self.adaptive_depth = adaptive_depth
+        # UDF mask head grids (the UNet's candidate hierarchy) when the
+        # model has one (cfg.udf_enabled; reference nksr_net.py:116-130)
+        self.udf_host = udf_host
+        self.udf_caps = None if udf_caps is None else tuple(udf_caps)
 
     def __getattr__(self, name):
         return getattr(self.field, name)
@@ -65,7 +80,15 @@ class HostField:
         return (vals, grads) if grad else vals
 
     def _mask_host(self, x: np.ndarray) -> np.ndarray:
-        """Union-of-support mask on the host (LayerField semantics)."""
+        """Trust mask at host query points: UDF mask when the field has a
+        NeuralField mask head, else union-of-support (LayerField)."""
+        mf = getattr(self.field, "mask_field", None)
+        if self.udf_host is not None and mf is not None and \
+                hasattr(mf, "level_set"):
+            sup = HB.support_indices(self.udf_host, self.udf_caps, x)
+            m = _udf_mask_fn(self.cfg)(
+                mf, jnp.asarray(x), tuple(jnp.asarray(s) for s in sup))
+            return np.asarray(m) > 0
         sup = HB.support_indices(self.host_grids, self.capacities, x)
         inside = np.zeros(x.shape[0], bool)
         for s in sup:

@@ -129,10 +129,11 @@ def _level_fn(cfg: P.PipelineConfig, d: int):
 @functools.lru_cache(maxsize=16)
 def _final_fn(cfg: P.PipelineConfig):
     """Heads on the pruned decoder grids + kernel solve (sort-free)."""
-    from ..fields import LayerField
+    from ..fields import DecoderFn, LayerField, NeuralField
+    from ..models.network import MLP
 
     def fn(params, xyz, mask, input_normal, dec_svh, g_convs, head_idx,
-           pos_sup, grad_sup, prior_idx):
+           pos_sup, grad_sup, prior_idx, udf_svh):
         up = params["params"]["unet"]
         basis, normals = [], []
         for d in range(cfg.tree_depth):
@@ -148,7 +149,22 @@ def _final_fn(cfg: P.PipelineConfig):
             tuple(basis), tuple(normals),
             pos_sup_idx=pos_sup, grad_sup_idx=grad_sup,
             prior_splat_idx=prior_idx)
-        return field.set_mask_field(LayerField(dec_svh, cfg.adaptive_depth))
+        if cfg.udf_enabled:
+            # UDF mask head lives on the *candidate* grids (pipeline.py
+            # udf_svh semantics, reference models/nksr_net.py:116-130)
+            udf_feats = tuple(
+                nn.Dense(cfg.udf_dim).apply({"params": up[f"udf_{d}"]},
+                                            g_convs[d])
+                for d in range(cfg.tree_depth))
+            udf_dec = DecoderFn(
+                params={"params": params["params"]["udf_decoder"]},
+                module=MLP(hidden=(2 * cfg.udf_dim,) * 2, out=1))
+            mask_field = NeuralField(svh=udf_svh, features=udf_feats,
+                                     decoder=udf_dec)
+            mask_field = mask_field.set_level_set(2.0 * cfg.voxel_size)
+        else:
+            mask_field = LayerField(dec_svh, cfg.adaptive_depth)
+        return field.set_mask_field(mask_field)
 
     return jax.jit(fn)
 
@@ -195,7 +211,10 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
     g_convs[D - 1] = g
     dec_host = [None] * D
     head_rows = [None] * D
+    cand_host = [None] * D
+    cand_caps = [0] * D
     for d in range(D - 1, -1, -1):
+        cand_host[d], cand_caps[d] = cand, cand_cap
         nvox = min(len(cand.keys), cand_cap)
         st = np.asarray(status_dev)[:nvox]
         keep = st > 0
@@ -252,12 +271,16 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
                       for d in range(cfg.adaptive_depth))
 
     input_normal = feat if cfg.feature == "normal" else None
+    udf_svh = HB.to_device_svh(cand_host, cand_caps, cfg.voxel_size) \
+        if cfg.udf_enabled else None
     field = _final_fn(cfg)(
         params, jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
         dec_svh, tuple(g_convs), head_idx,
         tuple(jnp.asarray(s) for s in pos_sup),
-        tuple(jnp.asarray(s) for s in grad_sup), prior_idx)
+        tuple(jnp.asarray(s) for s in grad_sup), prior_idx, udf_svh)
     if tm.on:
         jax.block_until_ready(field.alpha)
     tm.lap("final solve")
-    return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth)
+    return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth,
+                     udf_host=cand_host if cfg.udf_enabled else None,
+                     udf_caps=tuple(cand_caps))

@@ -89,3 +89,40 @@ def test_reconstructor_default_routes_to_host_path(setup):
     # prunes aggressively (empty mesh is acceptable)
     mesh = f.extract_dual_mesh()
     assert mesh.v.shape[1] == 3
+
+
+def test_udf_mask_parity(setup):
+    """UDF mask head (cfg.udf_enabled) through the host path must match
+    the in-graph NeuralField mask (reference nksr_net.py:116-133)."""
+    cfg, params, xyz, xyz_p, nrm_p, mask = setup
+    cfg = dataclasses.replace(cfg, udf_enabled=True)
+    out = P.forward(cfg, params, xyz_p, mask, nrm_p,
+                    gt_svh=None, use_gt_structure=False)
+    hf = reconstruct_predicted_host(params, cfg, xyz, xyz_p, mask, nrm_p)
+    assert hf.udf_host is not None
+
+    rng = np.random.default_rng(6)
+    probes = (xyz[rng.integers(0, len(xyz), 256)]
+              + rng.normal(0, 0.08, (256, 3))).astype(np.float32)
+    fb_ref = np.asarray(out.field.evaluate_f_bar(probes))
+    fb_host = hf.evaluate_f_bar(probes)
+    np.testing.assert_allclose(fb_host, fb_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_adaptive_depth2_parity(setup):
+    """adaptive_depth=2 (the scene-model config, e.g. reference
+    configs/carla/train.yaml:6) through the host path."""
+    cfg, params, xyz, xyz_p, nrm_p, mask = setup
+    cfg = dataclasses.replace(cfg, adaptive_depth=2)
+    out = P.forward(cfg, params, xyz_p, mask, nrm_p,
+                    gt_svh=None, use_gt_structure=False)
+    hf = reconstruct_predicted_host(params, cfg, xyz, xyz_p, mask, nrm_p)
+    for d in range(cfg.tree_depth):
+        nref = int(out.field.svh.grids[d].num_voxels)
+        assert nref == len(hf.host_grids[d].coords)
+    rng = np.random.default_rng(7)
+    probes = (xyz[rng.integers(0, len(xyz), 200)]
+              + rng.normal(0, 0.05, (200, 3))).astype(np.float32)
+    v_ref = np.asarray(out.field.evaluate_f(probes).value)
+    v_host = hf.evaluate_f(probes).value
+    np.testing.assert_allclose(v_host, v_ref, rtol=1e-4, atol=1e-5)
