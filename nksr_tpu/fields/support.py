@@ -32,6 +32,14 @@ from ..ops.gather_scatter import take_rows
 _MLP_CHUNK = 1 << 15   # rows per interpolator-MLP chunk (bounds temps)
 
 
+def _use_pallas_window() -> bool:
+    """Opt-in Pallas window kernel (ops/pallas/window_basis.py).  Default
+    off: XLA fuses the plain elementwise form into its neighbors, and a
+    pallas_call is a fusion barrier — enable to A/B on real hardware."""
+    import os
+    return os.environ.get("NKSR_PALLAS_WINDOW", "0") == "1"
+
+
 @struct.dataclass
 class InterpolatorFn:
     """Functional handle on the network's Interpolators submodule."""
@@ -117,7 +125,11 @@ def depth_support(grid: SparseGrid, features: jnp.ndarray,
             raw = f(z0)
             b = (raw * window(z0)[..., None]).reshape(r, 8 * k)
             return jnp.where(act, b, 0.0)
-        w, dw = window_and_grad(z0)                     # (R,8), (R,8,3)
+        if _use_pallas_window():
+            from ..ops.pallas import window_and_grad_fused
+            w, dw = window_and_grad_fused(z0)           # (R,8), (R,8,3)
+        else:
+            w, dw = window_and_grad(z0)
         raw = f(z0)
         if approx_grad:
             draws = [jnp.zeros_like(raw)] * 3
