@@ -42,13 +42,45 @@ def _compiled_forward(cfg: P.PipelineConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_forward_pre(cfg: P.PipelineConfig):
-    """Sort-free forward over host-precomputed tables (fast TPU path)."""
-    def fn(params, xyz, mask, feat, pre):
-        out = P.forward(cfg, params, xyz, mask, feat,
-                        gt_svh=pre.enc_svh, use_gt_structure=True,
-                        pre=pre)
-        return out.field
+def _compiled_structure(cfg: P.PipelineConfig):
+    """Sort-free network pass (encoder + UNet + heads) over host tables.
+
+    Split from the solve so the host can build the solve's support tables
+    WHILE the device runs the network (dispatch is async)."""
+    def fn(params, xyz, mask, feat, enc_svh, tables, splat_idx):
+        net = cfg.network()
+        out, dec_svh, udf_svh = net.apply(
+            params, xyz, feat, mask, enc_svh, enc_svh, True,
+            cfg.capacities, tables=tables, point_splat_idx=splat_idx)
+        return out, dec_svh, udf_svh
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_solve(cfg: P.PipelineConfig):
+    """Sort-free kernel solve + mask attachment (phase 2 of the splat
+    path; mirrors the tail of models/pipeline.forward)."""
+    from ..fields import DecoderFn, LayerField, NeuralField
+    from ..models.network import MLP
+
+    def fn(params, xyz, mask, input_normal, dec_svh, udf_svh,
+           basis_feats, normal_feats, udf_feats, pos_sup, grad_sup):
+        prior_idx = tuple(pos_sup[d] for d in range(cfg.adaptive_depth))
+        field = P.solve_kernel_field(
+            cfg, params, xyz, mask, input_normal, dec_svh,
+            basis_feats, normal_feats,
+            pos_sup_idx=pos_sup, grad_sup_idx=grad_sup,
+            prior_splat_idx=prior_idx)
+        if cfg.udf_enabled:
+            udf_dec = DecoderFn(
+                params={"params": params["params"]["udf_decoder"]},
+                module=MLP(hidden=(2 * cfg.udf_dim,) * 2, out=1))
+            mf = NeuralField(svh=udf_svh, features=udf_feats,
+                             decoder=udf_dec)
+            mf = mf.set_level_set(2.0 * cfg.voxel_size)
+        else:
+            mf = LayerField(dec_svh, cfg.adaptive_depth)
+        return field.set_mask_field(mf)
     return jax.jit(fn)
 
 
@@ -186,13 +218,22 @@ class Reconstructor:
         tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
         tm.lap("unet tables")
         n, cap_pts = xyz.shape[0], xyz_p.shape[0]
-        pos_sup_n = HB.support_indices(grids, caps, xyz,
-                                       presorted=orders)
-        tm.lap("support")
-        pos_sup = tuple(
-            np.concatenate([s, np.full((cap_pts - n, 8), -1, np.int32)])
-            for s in pos_sup_n)
-        splat_idx = pos_sup[0]
+        pad8 = np.full((cap_pts - n, 8), -1, np.int32)
+        splat0 = HB.support_indices(grids[:1], caps[:1], xyz,
+                                    presorted=orders[:1])[0]
+        splat_idx = np.concatenate([splat0, pad8])
+
+        # dispatch the network NOW (async) — the device runs it while the
+        # host builds the solve's support tables below
+        out, dec_svh, udf_svh = _compiled_structure(cfg)(
+            self.network.params, jnp.asarray(xyz_p), jnp.asarray(mask),
+            feat, enc_svh, tables, jnp.asarray(splat_idx))
+        tm.lap("dispatch structure")
+
+        pos_sup_rest = HB.support_indices(grids[1:], caps[1:], xyz,
+                                          presorted=orders[1:])
+        pos_sup = (jnp.asarray(splat_idx),) + tuple(
+            jnp.asarray(np.concatenate([s, pad8])) for s in pos_sup_rest)
         centers_parts = []
         for d in range(cfg.adaptive_depth):
             cpad = np.zeros((caps[d], 3), np.float32)
@@ -200,20 +241,22 @@ class Reconstructor:
             cpad[:nn_] = grids[d].coords[:nn_] * grids[d].voxel_size
             centers_parts.append(cpad)
         centers_all = np.concatenate(centers_parts, 0)
-        grad_sup = HB.support_indices(grids, caps, centers_all)
+        grad_sup = tuple(jnp.asarray(s) for s in
+                         HB.support_indices(grids, caps, centers_all))
+        tm.lap("support")
 
-        pre = P.Precomputed(
-            enc_svh=enc_svh, unet_tables=tables,
-            point_splat_idx=splat_idx, pos_sup_idx=pos_sup,
-            grad_sup_idx=grad_sup)
-        fwd = _compiled_forward_pre(cfg)
-        field = fwd(self.network.params, jnp.asarray(xyz_p),
-                    jnp.asarray(mask), feat, pre)
+        input_normal = feat if cfg.feature == "normal" else None
+        field = _compiled_solve(cfg)(
+            self.network.params, jnp.asarray(xyz_p), jnp.asarray(mask),
+            input_normal, dec_svh, udf_svh, out.basis_features,
+            out.normal_features, out.udf_features, pos_sup, grad_sup)
         if tm.on:
             import jax as _jax
             _jax.block_until_ready(field.alpha)
-        tm.lap("device fwd+solve")
-        return HostField(field, cfg, grids, caps, cfg.adaptive_depth)
+        tm.lap("device solve")
+        return HostField(
+            field, cfg, grids, caps, cfg.adaptive_depth,
+            udf_host=grids if cfg.udf_enabled else None, udf_caps=caps)
 
     # -------------------------------------------------------------- helpers
     def _pick_voxel_size(self, xyz: np.ndarray,
