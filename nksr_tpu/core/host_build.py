@@ -104,6 +104,59 @@ def build_splat_grids_ex(xyz: np.ndarray, voxel_size: float, depth: int):
     return grids, orders
 
 
+def build_adaptive_grids(xyz: np.ndarray, normal: np.ndarray,
+                         voxel_size: float, depth: int, tau: float = 0.1,
+                         adaptive_depth: int = 1,
+                         splat=None) -> List[HostGrid]:
+    """Host counterpart of SVH.build_adaptive_normal_variation
+    (core/svh.py; reference contract models/nksr_net.py:175-179):
+    levels >= adaptive_depth-1 are full point splats; finer levels keep a
+    voxel only where its parent's normal variation
+    ``max_p (1 - n_p . nbar)`` exceeds tau.
+    """
+    from ..native import merge_unique
+
+    grids: List[Optional[HostGrid]] = [None] * depth
+    if splat is None:
+        splat = build_splat_grids_ex(xyz, voxel_size, depth)
+    splat, orders = splat
+    for d in range(max(adaptive_depth - 1, 0), depth):
+        grids[d] = splat[d]
+    deltas = np.array([_offset_delta(o) for o in _OFFS2], np.int64)
+    for d in range(adaptive_depth - 2, -1, -1):
+        parent = grids[d + 1]
+        pvs = parent.voxel_size
+        # nearest parent voxel center per point (round = node-centered)
+        pcell = pack64(np.round(xyz / pvs).astype(np.int64))
+        pidx = keys_lookup(parent, pcell)
+        ok = pidx >= 0
+        seg = pidx[ok]
+        npar = len(parent.keys)
+        nn = normal[ok]
+        nsum = np.stack([np.bincount(seg, weights=nn[:, c],
+                                     minlength=npar) for c in range(3)], 1)
+        nbar = nsum / (np.linalg.norm(nsum, axis=1, keepdims=True) + 1e-6)
+        dev = 1.0 - np.sum(nn * nbar[seg], axis=1)
+        sigma = np.zeros(npar, np.float64)
+        np.maximum.at(sigma, seg, dev)
+        cnt = np.bincount(seg, minlength=npar)
+        refine = (sigma > tau) & (cnt > 0)
+        # candidate voxels at level d: splat corners whose parent refines
+        vs = voxel_size * (2.0 ** d)
+        sb, order = orders[d]
+        ub = sb[np.concatenate([[True], sb[1:] != sb[:-1]])] if len(sb) \
+            else sb
+        corners = merge_unique(ub, deltas)
+        cpar = pack64(np.floor_divide(unpack64(corners).astype(np.int64),
+                                      2))
+        cpi = keys_lookup(parent, cpar)
+        keep = (cpi >= 0) & np.take(refine, np.clip(cpi, 0, None))
+        keys = corners[keep]
+        grids[d] = HostGrid(coords=unpack64(keys), keys=keys,
+                            voxel_size=vs)
+    return grids
+
+
 def to_device_grid(g: HostGrid, cap: int) -> SparseGrid:
     """Upload one host grid as a capacity-padded device grid."""
     import jax.numpy as jnp

@@ -287,10 +287,13 @@ class SparseUNet(nn.Module):
 
             if d > 0:
                 if use_gt_structure and gt_svh is not None and \
-                        gt_svh.grids[d - 1].key_hi is \
-                        enc_svh.grids[d - 1].key_hi:
-                    # teacher grid IS the encoder grid (splat-structure
-                    # inference): candidates == that grid; skip the
+                        (tables is not None or
+                         gt_svh.grids[d - 1].key_hi is
+                         enc_svh.grids[d - 1].key_hi):
+                    # teacher-forced with host tables (sort-free inference)
+                    # or teacher grid IS the encoder grid: candidates are
+                    # the encoder splat grid (a superset of any teacher
+                    # hierarchy built from the same points); skip the
                     # children-sort rebuild and reuse its neighbor table
                     nxt = enc_svh.grids[d - 1]
                 else:

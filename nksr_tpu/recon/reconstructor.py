@@ -47,10 +47,10 @@ def _compiled_structure(cfg: P.PipelineConfig):
 
     Split from the solve so the host can build the solve's support tables
     WHILE the device runs the network (dispatch is async)."""
-    def fn(params, xyz, mask, feat, enc_svh, tables, splat_idx):
+    def fn(params, xyz, mask, feat, enc_svh, gt_svh, tables, splat_idx):
         net = cfg.network()
         out, dec_svh, udf_svh = net.apply(
-            params, xyz, feat, mask, enc_svh, enc_svh, True,
+            params, xyz, feat, mask, enc_svh, gt_svh, True,
             cfg.capacities, tables=tables, point_splat_idx=splat_idx)
         return out, dec_svh, udf_svh
     return jax.jit(fn)
@@ -181,8 +181,9 @@ class Reconstructor:
             sensor=None if sens is None else jnp.asarray(
                 np.pad(sens, ((0, pad), (0, 0)))))
 
-        if cfg.structure_mode == "splat":
-            return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat)
+        if cfg.structure_mode in ("splat", "adaptive"):
+            return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat,
+                                          normal=normal)
         if cfg.structure_mode == "predicted":
             # two-phase host-orchestrated variant of the reference default:
             # sort-free device jits, host grid pruning between levels
@@ -197,9 +198,11 @@ class Reconstructor:
                     jnp.asarray(mask), feat)
         return field
 
-    def _reconstruct_host(self, cfg, xyz, xyz_p, mask, feat):
-        """Host-built structures + one sort-free device jit
-        (see core/host_build.py)."""
+    def _reconstruct_host(self, cfg, xyz, xyz_p, mask, feat, normal=None):
+        """Host-built structures + sort-free device jits
+        (see core/host_build.py).  ``structure_mode='adaptive'`` builds the
+        normal-variation hierarchy (flat regions stay coarse) instead of
+        the full splat."""
         from ..core import host_build as HB
         from ..ops.gather_scatter import stencil_offsets
         from .host_field import HostField
@@ -210,11 +213,25 @@ class Reconstructor:
         # the support tables; capacities come from the exact counts
         grids, orders = HB.build_splat_grids_ex(
             xyz, cfg.voxel_size, cfg.tree_depth)
+        if cfg.structure_mode == "adaptive":
+            assert normal is not None, \
+                "adaptive structure needs input normals"
+            dec_grids = HB.build_adaptive_grids(
+                xyz, normal, cfg.voxel_size, cfg.tree_depth,
+                tau=cfg.adaptive_tau, adaptive_depth=cfg.adaptive_depth,
+                splat=(grids, orders))
+        else:
+            dec_grids = grids
         tm.lap("splat grids")
         caps = tuple(max(_next_pow2(int(len(g.keys) * 1.05)), 512)
                      for g in grids)
+        dec_caps = caps if dec_grids is grids else tuple(
+            max(_next_pow2(int(len(g.keys) * 1.05)), 512)
+            for g in dec_grids)
         cfg = dataclasses.replace(cfg, capacities=caps)
         enc_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
+        gt_svh = enc_svh if dec_grids is grids else \
+            HB.to_device_svh(dec_grids, dec_caps, cfg.voxel_size)
         tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
         tm.lap("unet tables")
         n, cap_pts = xyz.shape[0], xyz_p.shape[0]
@@ -227,22 +244,32 @@ class Reconstructor:
         # host builds the solve's support tables below
         out, dec_svh, udf_svh = _compiled_structure(cfg)(
             self.network.params, jnp.asarray(xyz_p), jnp.asarray(mask),
-            feat, enc_svh, tables, jnp.asarray(splat_idx))
+            feat, enc_svh, gt_svh, tables, jnp.asarray(splat_idx))
         tm.lap("dispatch structure")
 
-        pos_sup_rest = HB.support_indices(grids[1:], caps[1:], xyz,
-                                          presorted=orders[1:])
-        pos_sup = (jnp.asarray(splat_idx),) + tuple(
-            jnp.asarray(np.concatenate([s, pad8])) for s in pos_sup_rest)
+        # solve supports live on the DECODER hierarchy
+        if dec_grids is grids:
+            pos_sup_rest = HB.support_indices(grids[1:], caps[1:], xyz,
+                                              presorted=orders[1:])
+            pos_sup = (jnp.asarray(splat_idx),) + tuple(
+                jnp.asarray(np.concatenate([s, pad8]))
+                for s in pos_sup_rest)
+        else:
+            pos_sup = tuple(
+                jnp.asarray(np.concatenate([s, pad8]))
+                for s in HB.support_indices(dec_grids, dec_caps, xyz,
+                                            presorted=orders))
         centers_parts = []
         for d in range(cfg.adaptive_depth):
-            cpad = np.zeros((caps[d], 3), np.float32)
-            nn_ = min(len(grids[d].keys), caps[d])
-            cpad[:nn_] = grids[d].coords[:nn_] * grids[d].voxel_size
+            cpad = np.zeros((dec_caps[d], 3), np.float32)
+            nn_ = min(len(dec_grids[d].keys), dec_caps[d])
+            cpad[:nn_] = dec_grids[d].coords[:nn_] \
+                * dec_grids[d].voxel_size
             centers_parts.append(cpad)
         centers_all = np.concatenate(centers_parts, 0)
         grad_sup = tuple(jnp.asarray(s) for s in
-                         HB.support_indices(grids, caps, centers_all))
+                         HB.support_indices(dec_grids, dec_caps,
+                                            centers_all))
         tm.lap("support")
 
         input_normal = feat if cfg.feature == "normal" else None
@@ -255,7 +282,7 @@ class Reconstructor:
             _jax.block_until_ready(field.alpha)
         tm.lap("device solve")
         return HostField(
-            field, cfg, grids, caps, cfg.adaptive_depth,
+            field, cfg, dec_grids, dec_caps, cfg.adaptive_depth,
             udf_host=grids if cfg.udf_enabled else None, udf_caps=caps)
 
     # -------------------------------------------------------------- helpers

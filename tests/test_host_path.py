@@ -93,3 +93,51 @@ class TestHostReconstruct:
         v_host = hf.evaluate_f(probe).value
         # two separately-compiled solves differ by CG/fusion noise only
         np.testing.assert_allclose(v_host, v_graph, rtol=0.05, atol=1e-2)
+
+
+class TestAdaptiveHost:
+    def test_adaptive_grids_match_ingraph(self):
+        """Host build_adaptive_grids == SVH.build_adaptive_normal_variation
+        (reference contract models/nksr_net.py:175-179)."""
+        from nksr_tpu.core import SparseFeatureHierarchy
+        rng = np.random.default_rng(5)
+        # box surface: flat faces (low normal variation) + sharp edges
+        n = 3000
+        face = rng.integers(0, 6, n)
+        uv = rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)
+        xyz = np.zeros((n, 3), np.float32)
+        nrm = np.zeros((n, 3), np.float32)
+        for f in range(6):
+            a, s = f // 2, 1.0 if f % 2 == 0 else -1.0
+            m = face == f
+            o = [b for b in range(3) if b != a]
+            xyz[m, o[0]], xyz[m, o[1]] = uv[m, 0], uv[m, 1]
+            xyz[m, a] = 0.5 * s
+            nrm[m, a] = s
+        host = HB.build_adaptive_grids(xyz, nrm, 0.05, 3, tau=0.1,
+                                       adaptive_depth=2)
+        svh = SparseFeatureHierarchy.build_adaptive_normal_variation(
+            jnp.asarray(xyz), jnp.asarray(nrm), jnp.ones(n, bool),
+            0.05, 3, (16384, 8192, 4096), tau=0.1, adaptive_depth=2)
+        for d in range(3):
+            ndev = int(svh.grids[d].num_voxels)
+            assert len(host[d].keys) == ndev, f"level {d}"
+            np.testing.assert_array_equal(
+                host[d].coords, np.asarray(svh.grids[d].coords)[:ndev])
+        # adaptivity is real: level 0 keeps only edge/corner voxels
+        assert 0 < len(host[0].keys) < 0.7 * len(
+            HB.build_splat_grids(xyz, 0.05, 1)[0].keys)
+
+    def test_adaptive_reconstruct_end_to_end(self):
+        xyz, nrm = sphere_points(2500, r=0.5, seed=33)
+        cfg = P.PipelineConfig(tree_depth=3, adaptive_depth=2, f_maps=8,
+                               basis_dim=8, udf_dim=8,
+                               solver_max_iters=40, solver_tol=1e-4)
+        recon = Reconstructor(config=cfg)
+        f = recon.reconstruct(xyz, nrm, voxel_size=0.08,
+                              detail_level=None, structure="adaptive")
+        mesh = f.extract_dual_mesh()
+        assert mesh.v.shape[0] > 100
+        used = np.unique(mesh.f)
+        r = np.linalg.norm(mesh.v[used], axis=1)
+        assert np.abs(r - 0.5).mean() < 0.06
