@@ -6,9 +6,15 @@ zero-egress, so examples use the vendored bunny/spot assets and synthetic
 scenes.
 """
 
+import sys
 from pathlib import Path
 
 import numpy as np
+
+# allow running straight from a checkout (no pip install needed)
+_ROOT = Path(__file__).resolve().parent.parent
+if str(_ROOT) not in sys.path:
+    sys.path.insert(0, str(_ROOT))
 
 ASSETS = Path("/root/reference/assets")
 

@@ -31,7 +31,7 @@ if __name__ == "__main__":
         xyz = xyz.astype(np.float32)
     except (ImportError, FileNotFoundError):
         print("laspy / LAS asset unavailable; using synthetic terrain")
-        xyz, _ = make_terrain_scene(n=150000, extent=40.0)
+        xyz, _ = make_terrain_scene(n=60000, extent=30.0)
 
     # overhead sensor for normal orientation (gis_app.py:36)
     sensor = np.zeros_like(xyz)
