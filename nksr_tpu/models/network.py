@@ -59,27 +59,40 @@ class MaskedGroupNorm(nn.Module):
 
 
 class SparseConv(nn.Module):
-    """Submanifold sparse conv over a precomputed neighbor table."""
+    """Submanifold sparse conv over a precomputed neighbor table.
+
+    ``compute_dtype='bfloat16'`` runs the gathers + MXU matmuls in bf16
+    (half the HBM traffic, native MXU rate) with f32 accumulation;
+    params and outputs stay f32.
+    """
     features: int
     taps: int = 27
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
         w = self.param("kernel", _glorot(),
                        (self.taps, x.shape[-1], self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = jnp.dtype(self.compute_dtype)
+        if dt != x.dtype:
+            return gs.gather_conv(x.astype(dt), nbr, w.astype(dt),
+                                  b).astype(jnp.float32)
         return gs.gather_conv(x, nbr, w, b)
 
 
 class ConvBlock(nn.Module):
     """conv-norm-act x2 with residual (when channel counts allow)."""
     features: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, nbr, mask):
-        h = SparseConv(self.features)(x, nbr)
+        h = SparseConv(self.features, compute_dtype=self.compute_dtype)(
+            x, nbr)
         h = nn.silu(MaskedGroupNorm()(h, mask))
-        h = SparseConv(self.features)(h, nbr)
+        h = SparseConv(self.features, compute_dtype=self.compute_dtype)(
+            h, nbr)
         h = nn.silu(MaskedGroupNorm()(h, mask))
         if x.shape[-1] == self.features:
             h = h + x
@@ -189,6 +202,7 @@ class SparseUNet(nn.Module):
     adaptive_depth: int = 1
     basis_dim: int = 16
     udf_dim: int = 16
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feat0: jnp.ndarray, enc_svh: SparseFeatureHierarchy,
@@ -222,7 +236,8 @@ class SparseUNet(nn.Module):
         f = feat0
         for d in range(D):
             g_d = enc_svh.grids[d]
-            f = ConvBlock(self.f_maps, name=f"enc_{d}")(
+            f = ConvBlock(self.f_maps, compute_dtype=self.compute_dtype,
+                          name=f"enc_{d}")(
                 f, enc_nbr[d], g_d.active_mask())
             enc_feats.append(f)
             if d < D - 1:
@@ -248,7 +263,8 @@ class SparseUNet(nn.Module):
         for d in range(D - 1, -1, -1):
             cand_grids[d] = cand
             nbr = get_nbr(cand)
-            g = ConvBlock(self.f_maps, name=f"dec_{d}")(
+            g = ConvBlock(self.f_maps, compute_dtype=self.compute_dtype,
+                          name=f"dec_{d}")(
                 g, nbr, cand.active_mask())
 
             logits = nn.Dense(3, name=f"struct_{d}")(g)
@@ -349,13 +365,15 @@ class NKSRNetwork(nn.Module):
     udf_dim: int = 16
     interp_hidden: int = 16
     interp_layers: int = 2
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.encoder = PointEncoder(self.f_maps)
         self.unet = SparseUNet(depth=self.tree_depth, f_maps=self.f_maps,
                                adaptive_depth=self.adaptive_depth,
                                basis_dim=self.basis_dim,
-                               udf_dim=self.udf_dim)
+                               udf_dim=self.udf_dim,
+                               compute_dtype=self.compute_dtype)
         self.interpolators = Interpolators(
             depth=self.tree_depth, kernel_dim=self.kernel_dim,
             n_hidden=self.interp_layers, hidden_dim=self.interp_hidden)

@@ -46,6 +46,7 @@ class PipelineConfig:
     solver_max_iters: int = 128
     approx_kernel_grad: bool = False
     fused_mode: bool = False         # recompute supports inside CG matvecs
+    conv_dtype: str = "float32"      # 'bfloat16' = MXU-native UNet convs
     capacities: Tuple[int, ...] = (65536, 32768, 16384, 8192)
     adaptive_tau: float = 0.1
     # decoder hierarchy source at inference: 'predicted' (structure head,
@@ -59,7 +60,8 @@ class PipelineConfig:
             adaptive_depth=self.adaptive_depth,
             kernel_dim=self.kernel_dim, basis_dim=self.basis_dim,
             udf_dim=self.udf_dim, interp_hidden=self.interp_hidden,
-            interp_layers=self.interp_layers)
+            interp_layers=self.interp_layers,
+            compute_dtype=self.conv_dtype)
 
     def with_capacity_scale(self, scale: float) -> "PipelineConfig":
         caps = tuple(max(256, int(c * scale)) for c in self.capacities)

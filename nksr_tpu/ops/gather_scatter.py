@@ -125,14 +125,15 @@ def gather_conv(feat: jnp.ndarray, nbr: jnp.ndarray,
     MXU-shaped matmuls, and XLA fuses the gather into each matmul.
     """
     k = nbr.shape[1]
-    out = jnp.zeros((nbr.shape[0], weights.shape[-1]), feat.dtype)
+    # accumulate across taps in f32 regardless of the compute dtype
+    out = jnp.zeros((nbr.shape[0], weights.shape[-1]), jnp.float32)
     for o in range(k):
         g = take_rows(feat, nbr[:, o])
         out = out + jnp.dot(g, weights[o],
-                            preferred_element_type=jnp.float32).astype(feat.dtype)
+                            preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
-    return out
+    return out.astype(feat.dtype)
 
 
 def scatter_mean(values: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,

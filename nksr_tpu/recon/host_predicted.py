@@ -78,7 +78,7 @@ def _phase1_fn(cfg: P.PipelineConfig):
         enc_feats = []
         f = feat0
         for d in range(D):
-            f = ConvBlock(cfg.f_maps).apply(
+            f = ConvBlock(cfg.f_maps, compute_dtype=cfg.conv_dtype).apply(
                 {"params": up[f"enc_{d}"]}, f, tables.nbr[d],
                 enc_svh.grids[d].active_mask())
             enc_feats.append(f)
@@ -88,7 +88,7 @@ def _phase1_fn(cfg: P.PipelineConfig):
                 f = jnp.where(enc_svh.grids[d + 1].active_mask()[:, None],
                               f, 0.0)
         amask = enc_svh.grids[D - 1].active_mask()
-        g = ConvBlock(cfg.f_maps).apply(
+        g = ConvBlock(cfg.f_maps, compute_dtype=cfg.conv_dtype).apply(
             {"params": up[f"dec_{D - 1}"]}, enc_feats[D - 1],
             tables.nbr[D - 1], amask)
         logits = nn.Dense(3).apply({"params": up[f"struct_{D - 1}"]}, g)
@@ -116,7 +116,7 @@ def _level_fn(cfg: P.PipelineConfig, d: int):
             h = h + jnp.where((oct_id == o)[:, None], yo, 0.0)
         skip = gs.take_rows(enc_feat, eidx)
         g = jnp.where(amask[:, None], h + skip, 0.0)
-        g = ConvBlock(cfg.f_maps).apply(
+        g = ConvBlock(cfg.f_maps, compute_dtype=cfg.conv_dtype).apply(
             {"params": up[f"dec_{d}"]}, g, nbr, amask)
         logits = nn.Dense(3).apply({"params": up[f"struct_{d}"]}, g)
         status = jnp.where(amask, jnp.argmax(logits, -1).astype(jnp.int32),

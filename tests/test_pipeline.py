@@ -99,3 +99,33 @@ class TestPipeline:
         assert np.isfinite(v).all()
         m = np.asarray(out.field.mask_field.evaluate_mask(xyz[:50]))
         assert np.isfinite(m).all()
+
+
+def test_bf16_conv_forward_close_to_f32():
+    """conv_dtype='bfloat16' (MXU-native) stays close to the f32 forward."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nksr_tpu.models import pipeline as P
+    from test_field import sphere_points
+
+    cfg = P.PipelineConfig(tree_depth=2, f_maps=8, basis_dim=8, udf_dim=8,
+                           voxel_size=0.15, capacities=(2048, 1024),
+                           solver_max_iters=30, solver_tol=1e-5,
+                           structure_mode="splat")
+    params = P.init_params(cfg, jax.random.PRNGKey(1))
+    xyz, nrm = sphere_points(600, r=0.5, seed=11)
+    cap = 1024
+    xyz_p = jnp.asarray(np.pad(xyz, ((0, cap - 600), (0, 0))))
+    nrm_p = jnp.asarray(np.pad(nrm, ((0, cap - 600), (0, 0))))
+    mask = jnp.asarray(np.arange(cap) < 600)
+
+    out32 = P.forward(cfg, params, xyz_p, mask, nrm_p)
+    cfg16 = dataclasses.replace(cfg, conv_dtype="bfloat16")
+    out16 = P.forward(cfg16, params, xyz_p, mask, nrm_p)
+    v32 = np.asarray(out32.field.evaluate_f(xyz_p[:600]).value)
+    v16 = np.asarray(out16.field.evaluate_f(xyz_p[:600]).value)
+    assert np.isfinite(v16).all()
+    # bf16 convs perturb features; fields should still agree coarsely
+    assert np.abs(v16 - v32).mean() < 0.05
