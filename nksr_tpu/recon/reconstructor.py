@@ -128,7 +128,6 @@ class Reconstructor:
                     solver_max_iters: Optional[int] = None,
                     fused_mode: bool = False,
                     structure: Optional[str] = None,
-                    mise_iter: int = 0,
                     mesh=None):
         xyz = np.asarray(input_xyz, np.float32)
         normal = None if input_normal is None else np.asarray(
