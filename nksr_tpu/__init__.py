@@ -12,35 +12,18 @@ __version__ = "0.1.0"
 
 import os as _os
 
-def _host_cpu_tag() -> str:
-    """Fingerprint of the host CPU's feature set.
-
-    XLA:CPU AOT cache entries embed the compile machine's features; after
-    a sandbox migration to a different CPU, replaying them can SIGILL /
-    segfault (observed: test_train segfaulted off a stale cache).  Keying
-    the cache directory by the feature set makes each host start clean.
-    """
-    import zlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return format(zlib.crc32(line.encode()) & 0xFFFFFFFF,
-                                  "08x")
-    except OSError:
-        pass
-    import platform
-    return format(zlib.crc32(platform.processor().encode()) & 0xFFFFFFFF,
-                  "08x")
-
-
-# Persistent XLA compilation cache: our static-shape graphs contain many
-# large sorts whose (remote) TPU compiles take minutes; the cache makes
-# every repeated shape free.  Opt out with NKSR_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("NKSR_TPU_NO_COMPILE_CACHE"):
+# Persistent XLA compilation cache — TPU backends ONLY: our static-shape
+# graphs contain many large sorts whose (remote) TPU compiles take
+# minutes, and TPU executables serialize safely.  XLA:CPU executables do
+# NOT round-trip reliably here (deserializing them segfaulted twice in
+# this sandbox — they embed host-CPU feature assumptions and the sandbox
+# migrates between hosts), so CPU runs always compile fresh.
+# Opt out entirely with NKSR_TPU_NO_COMPILE_CACHE=1.
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if not _os.environ.get("NKSR_TPU_NO_COMPILE_CACHE") and "cpu" not in _plat:
     _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser(f"~/.cache/nksr_tpu_xla_{_host_cpu_tag()}"))
+        _os.path.expanduser("~/.cache/nksr_tpu_xla"))
     try:
         import jax as _jax
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
