@@ -150,6 +150,9 @@ def fit(cfg: Config, train_loader: Iterable, val_loader: Optional[Iterable],
     best_val = float("inf")
     step = start_step
     t0 = time.time()
+    from ..utils import profiling as PROF
+    ctx = PROF.trace_run(str(run / "trace"))   # active iff NKSR_PROFILE=1
+    ctx.__enter__()
     for batch in train_loader:
         if step >= max_steps:
             break
@@ -180,6 +183,7 @@ def fit(cfg: Config, train_loader: Iterable, val_loader: Optional[Iterable],
                 CKPT.save_params(run / "best.ckpt", state)
         if step % ckpt_every == 0:
             CKPT.save_params(last_ckpt, state)
+    ctx.__exit__(None, None, None)
     CKPT.save_params(last_ckpt, state)
     logger.close()
     return state

@@ -22,3 +22,23 @@ if not os.environ.get("NKSR_TPU_TEST_TPU"):
 # runs (NKSR_TPU_TEST_TPU=1) still get the package's TPU-only cache.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The suite compiles hundreds of XLA:CPU programs; on this 1-core,
+    RAM-tight sandbox the accumulated executables eventually push LLVM
+    compiles into segfault territory (observed near the end of full-suite
+    runs while a TPU training job held ~2 GB).
+    """
+    yield
+    import jax
+    jax.clear_caches()
+    gc.collect()
