@@ -36,8 +36,8 @@ def synthetic_scene(n: int, seed: int = 0):
 
 def main():
     n = int(os.environ.get("NKSR_BENCH_N", 1_000_000))
-    import jax
     from nksr_tpu import Reconstructor
+    from nksr_tpu.utils.profiling import drain
 
     xyz, nrm = synthetic_scene(n)
     recon = Reconstructor()
@@ -47,15 +47,17 @@ def main():
     kw = dict(detail_level=None, voxel_size=0.1, solver_tol=1e-4,
               solver_max_iters=32, structure="splat")
 
-    # warmup (compile)
+    # warmup (compile).  NOTE: the barrier is a tiny device-to-host fetch
+    # (utils.profiling.drain) — jax.block_until_ready does NOT wait for
+    # execution on tunneled TPU platforms and would report dispatch time.
     f = recon.reconstruct(xyz, nrm, **kw)
-    jax.block_until_ready(f.alpha)
+    drain(f.alpha)
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         f = recon.reconstruct(xyz, nrm, **kw)
-        jax.block_until_ready(f.alpha)
+        drain(f.alpha)
     dt = (time.perf_counter() - t0) / reps
 
     pts_per_s = n / dt

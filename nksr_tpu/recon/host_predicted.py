@@ -201,7 +201,8 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
     enc_feats, g, status_dev = _phase1_fn(cfg)(
         params, jnp.asarray(xyz_p), jnp.asarray(mask), feat, enc_svh,
         tables, jnp.asarray(splat_idx))
-    status_dev.block_until_ready()
+    from ..utils.profiling import drain
+    drain(status_dev)  # status is consumed on host right below
     tm.lap("phase1 device")
 
     # level loop: host prunes/refines, device runs the next level's convs
@@ -279,7 +280,8 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
         tuple(jnp.asarray(s) for s in pos_sup),
         tuple(jnp.asarray(s) for s in grad_sup), prior_idx, udf_svh)
     if tm.on:
-        jax.block_until_ready(field.alpha)
+        from ..utils.profiling import drain
+        drain(field.alpha)
     tm.lap("final solve")
     return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth,
                      udf_host=cand_host if cfg.udf_enabled else None,

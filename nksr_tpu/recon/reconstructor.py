@@ -57,6 +57,69 @@ def _compiled_structure(cfg: P.PipelineConfig):
 
 
 @functools.lru_cache(maxsize=32)
+def _compiled_lattice_solve(cfg: P.PipelineConfig, spec):
+    """Dense-lattice kernel solve (fields/lattice.py) + mask attachment.
+
+    The TPU-native solve engine: per-CG-iteration work is dense shifts +
+    batched einsums instead of sparse row gathers (see lattice.py header
+    for the measured rationale)."""
+    from ..fields import DecoderFn, LayerField, NeuralField
+    from ..fields import lattice as LAT
+    from ..fields.kernel_field import KernelField
+    from ..fields.support import InterpolatorFn
+    from ..models.network import MLP, Interpolators
+
+    def fn(params, xyz_sorted, mask_sorted, pt_cell0, pt_dest,
+           slot_cells_pt, slot_cells_gr, gr_coords, gr_depth, gr_active,
+           vox_cell, vox_active, xyz_p, mask, input_normal,
+           dec_svh, udf_svh, basis_feats, normal_feats, udf_feats,
+           prior_splat_idx):
+        interp = InterpolatorFn(
+            params={"params": params["params"]["interpolators"]},
+            module=Interpolators(depth=cfg.tree_depth,
+                                 kernel_dim=cfg.kernel_dim,
+                                 n_hidden=cfg.interp_layers,
+                                 hidden_dim=cfg.interp_hidden))
+        # gradient targets: residual normal head on the splat prior
+        # (reference weighting /root/reference/models/nksr_net.py:100-112)
+        nvals = []
+        for d in range(cfg.adaptive_depth):
+            nv = normal_feats[d]
+            if input_normal is not None:
+                prior = P.splat_normals_to_grid(
+                    dec_svh.grids[d], xyz_p, input_normal, mask,
+                    splat_idx=prior_splat_idx[d])
+                nv = prior + nv
+            nvals.append(nv)
+        gr_targets = -jnp.concatenate(nvals, 0)
+        alphas = LAT.lattice_solve(
+            spec, interp, basis_feats, xyz_sorted, mask_sorted,
+            pt_cell0, pt_dest, slot_cells_pt, slot_cells_gr,
+            gr_coords, gr_depth, gr_active, gr_targets,
+            vox_cell, vox_active,
+            voxel_size=cfg.voxel_size,
+            pos_weight=cfg.pos_weight, normal_weight=cfg.normal_weight,
+            reg_weight=cfg.reg_weight, tol=cfg.solver_tol,
+            max_iters=cfg.solver_max_iters,
+            approx_grad=cfg.approx_kernel_grad)
+        field = KernelField(
+            svh=dec_svh, features=basis_feats, interp=interp,
+            alpha=alphas, kernel_dim=cfg.kernel_dim,
+            approx_kernel_grad=cfg.approx_kernel_grad)
+        if cfg.udf_enabled:
+            udf_dec = DecoderFn(
+                params={"params": params["params"]["udf_decoder"]},
+                module=MLP(hidden=(2 * cfg.udf_dim,) * 2, out=1))
+            mf = NeuralField(svh=udf_svh, features=udf_feats,
+                             decoder=udf_dec)
+            mf = mf.set_level_set(2.0 * cfg.voxel_size)
+        else:
+            mf = LayerField(dec_svh, cfg.adaptive_depth)
+        return field.set_mask_field(mf)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
 def _compiled_solve(cfg: P.PipelineConfig):
     """Sort-free kernel solve + mask attachment (phase 2 of the splat
     path; mirrors the tail of models/pipeline.forward)."""
@@ -246,6 +309,68 @@ class Reconstructor:
             feat, enc_svh, gt_svh, tables, jnp.asarray(splat_idx))
         tm.lap("dispatch structure")
 
+        input_normal = feat if cfg.feature == "normal" else None
+
+        # ---- dense-lattice solve (default; fields/lattice.py) ----------
+        import os as _os
+        if _os.environ.get("NKSR_LATTICE", "1") == "1":
+            from ..fields.lattice import plan_lattice
+            plan = plan_lattice(
+                grids, caps, xyz, orders[0][0], orders[0][1],
+                cfg.voxel_size, cfg.tree_depth, cfg.adaptive_depth,
+                k=cfg.kernel_dim,
+                dec_grids=None if dec_grids is grids else dec_grids,
+                dec_caps=None if dec_grids is grids else dec_caps)
+        else:
+            plan = None
+        if plan is not None:
+            spec = plan.spec
+            if dec_grids is grids:
+                prior_idx = (jnp.asarray(splat_idx),) + tuple(
+                    jnp.asarray(np.concatenate([s, pad8]))
+                    for s in HB.support_indices(
+                        grids[1:cfg.adaptive_depth],
+                        caps[1:cfg.adaptive_depth], xyz,
+                        presorted=orders[1:cfg.adaptive_depth]))
+            else:
+                prior_idx = tuple(
+                    jnp.asarray(np.concatenate([s, pad8]))
+                    for s in HB.support_indices(
+                        dec_grids[:cfg.adaptive_depth],
+                        dec_caps[:cfg.adaptive_depth], xyz,
+                        presorted=orders[:cfg.adaptive_depth]))
+            ncap = spec.n_pts_cap
+            xs = np.zeros((ncap, 3), np.float32)
+            xs[:n] = xyz[plan.pt_perm]
+            ms = np.zeros(ncap, bool)
+            ms[:n] = True
+            c0 = np.zeros((ncap, 3), np.int32)
+            c0[:n] = plan.pt_cell0
+            dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
+            dest[:n] = plan.pt_dest
+            tm.lap("lattice plan")
+            field = _compiled_lattice_solve(cfg, spec)(
+                self.network.params, jnp.asarray(xs), jnp.asarray(ms),
+                jnp.asarray(c0), jnp.asarray(dest),
+                jnp.asarray(plan.slot_cell_pt),
+                jnp.asarray(plan.slot_cell_gr),
+                jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
+                jnp.asarray(plan.gr_active),
+                tuple(jnp.asarray(v) for v in plan.vox_cell),
+                tuple(jnp.asarray(v) for v in plan.vox_active),
+                jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
+                dec_svh, udf_svh, out.basis_features,
+                out.normal_features, out.udf_features, prior_idx)
+            if tm.on:
+                from ..utils.profiling import drain
+                drain(field.alpha)
+            tm.lap("lattice solve")
+            return HostField(
+                field, cfg, dec_grids, dec_caps, cfg.adaptive_depth,
+                udf_host=grids if cfg.udf_enabled else None,
+                udf_caps=caps)
+
+        # ---- sparse fallback (huge bboxes / NKSR_LATTICE=0) -------------
         # solve supports live on the DECODER hierarchy
         if dec_grids is grids:
             pos_sup_rest = HB.support_indices(grids[1:], caps[1:], xyz,
@@ -271,14 +396,13 @@ class Reconstructor:
                                             centers_all))
         tm.lap("support")
 
-        input_normal = feat if cfg.feature == "normal" else None
         field = _compiled_solve(cfg)(
             self.network.params, jnp.asarray(xyz_p), jnp.asarray(mask),
             input_normal, dec_svh, udf_svh, out.basis_features,
             out.normal_features, out.udf_features, pos_sup, grad_sup)
         if tm.on:
-            import jax as _jax
-            _jax.block_until_ready(field.alpha)
+            from ..utils.profiling import drain
+            drain(field.alpha)
         tm.lap("device solve")
         return HostField(
             field, cfg, dec_grids, dec_caps, cfg.adaptive_depth,

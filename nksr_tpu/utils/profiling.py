@@ -18,6 +18,22 @@ from typing import Dict, Optional
 import jax
 
 
+def drain(tree) -> None:
+    """TRUE device-completion barrier: fetch one element of one leaf.
+
+    ``jax.block_until_ready`` is NOT a reliable completion barrier on
+    tunneled/remote device platforms (measured here on the ``axon`` TPU
+    proxy: it returns in ~50 ms while the dispatched computation runs for
+    seconds; only a device-to-host copy actually waits).  Every wall-clock
+    measurement in this repo must use ``drain`` instead.
+    """
+    import numpy as _np
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            _np.asarray(jax.device_get(leaf.ravel()[:1]))
+            return
+
+
 @contextlib.contextmanager
 def phase(name: str):
     """Named trace region (shows up in the profiler timeline)."""

@@ -9,6 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+from nksr_tpu.utils.profiling import drain
 import jax.numpy as jnp
 
 LOG = open("/tmp/nksr_ingraph.log", "a", buffering=1)
@@ -39,12 +40,12 @@ def main():
     fwd = jax.jit(lambda p, x, m, f:
                   P.forward(cfg, p, x, m, f).field.alpha[0].sum())
     t0 = time.time()
-    jax.block_until_ready(fwd(params, xyz, mask, nrm))
+    drain(fwd(params, xyz, mask, nrm))
     log(f"compile+first {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(3):
         out = fwd(params, xyz, mask, nrm)
-    jax.block_until_ready(out)
+    drain(out)
     log(f"steady {(time.time()-t0)/3:.2f}s  ({n/((time.time()-t0)/3):.0f} pts/s)")
 
 

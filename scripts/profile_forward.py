@@ -18,6 +18,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.nksr_jax_cache")
 
 import numpy as np
 import jax
+from nksr_tpu.utils.profiling import drain
 import jax.numpy as jnp
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -49,16 +50,16 @@ def main():
     fwd = jax.jit(lambda p, x, m, f:
                   P.forward(cfg, p, x, m, f).field.alpha[0].sum())
     t0 = time.time()
-    jax.block_until_ready(fwd(params, xyz, mask, nrm))
+    drain(fwd(params, xyz, mask, nrm))
     log(f"compile+first: {time.time()-t0:.1f}s")
     t0 = time.time()
-    jax.block_until_ready(fwd(params, xyz, mask, nrm))
+    drain(fwd(params, xyz, mask, nrm))
     log(f"steady: {time.time()-t0:.2f}s")
 
     trace_dir = "/tmp/nksr_trace"
     os.system(f"rm -rf {trace_dir}")
     jax.profiler.start_trace(trace_dir)
-    jax.block_until_ready(fwd(params, xyz, mask, nrm))
+    drain(fwd(params, xyz, mask, nrm))
     jax.profiler.stop_trace()
     log("trace captured")
 

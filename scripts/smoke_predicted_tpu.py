@@ -16,6 +16,7 @@ from bench import synthetic_scene  # noqa: E402
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     import jax
+    from nksr_tpu.utils.profiling import drain
     import jax.numpy as jnp
     from nksr_tpu import Reconstructor
 
@@ -37,7 +38,7 @@ def main():
 
     t0 = time.perf_counter()
     f = recon.reconstruct(xyz, nrm, **kw)
-    jax.block_until_ready(f.field.alpha)
+    drain(f.field.alpha)
     t_first = time.perf_counter() - t0
     print(f"first call (incl compile): {t_first:.1f}s", flush=True)
     for d, g in enumerate(f.host_grids):
@@ -47,7 +48,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         f = recon.reconstruct(xyz, nrm, **kw)
-        jax.block_until_ready(f.field.alpha)
+        drain(f.field.alpha)
     dt = (time.perf_counter() - t0) / reps
     print(f"steady state: {dt:.2f}s  ({n / dt:,.0f} pts/s)", flush=True)
 

@@ -1,0 +1,155 @@
+"""Dense-lattice solve engine (fields/lattice.py) vs the sparse path.
+
+The lattice engine reformulates the gradient-fitting solve
+(reference contract /root/reference/models/nksr_net.py:90-112) as dense
+flat-buffer shifts + batched einsums; these tests pin (a) the adjoint
+identities of its primitives and (b) end-to-end agreement with the
+sparse matrix-free solve on the same weights/hierarchy.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nksr_tpu import Reconstructor
+from nksr_tpu.fields import lattice as LAT
+from nksr_tpu.models import pipeline as P
+
+from test_field import sphere_points
+
+
+class TestPrimitives:
+    def _spec(self):
+        return LAT.LatticeSpec(
+            dims=((6, 5, 7), (4, 3, 5), (3, 2, 4)),
+            k=4, depth=3, adaptive_depth=2,
+            s_pt=64, p_rows=4, s_gr=32, n_pts_cap=256)
+
+    def test_corner_cat_scatter_adjoint(self):
+        """<corner_cat(x), y> == <x, corner_scatter_back(y)> per depth."""
+        spec = self._spec()
+        rng = np.random.default_rng(0)
+        for d in range(spec.depth):
+            for v in (1, 4, 8):
+                n = spec.n_cells(d)
+                x = jnp.asarray(rng.normal(size=(n * v,)).astype(np.float32))
+                y = jnp.asarray(rng.normal(size=(n, 8 * v)).astype(np.float32))
+                lhs = jnp.vdot(LAT._corner_cat(x, spec, d, v), y)
+                rhs = jnp.vdot(x, LAT._corner_scatter_back(y, spec, d, v))
+                np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                           rtol=1e-5)
+
+    def test_row_blocks_adjoint(self):
+        spec = self._spec()
+        rng = np.random.default_rng(1)
+        xs = tuple(jnp.asarray(
+            rng.normal(size=(spec.n_cells(d) * spec.k,)).astype(np.float32))
+            for d in range(spec.depth))
+        cells = jnp.asarray(np.stack([
+            rng.integers(0, spec.n_cells(d) - max(spec.corner_strides(d)) - 1,
+                         size=spec.s_gr)
+            for d in range(spec.depth)]).astype(np.int32))
+        y = jnp.asarray(rng.normal(
+            size=(spec.s_gr, spec.lanes)).astype(np.float32))
+        lhs = jnp.vdot(LAT._row_blocks(spec, xs, cells), y)
+        back = LAT._row_blocks_adjoint(spec, y, cells)
+        rhs = sum(jnp.vdot(a, b) for a, b in zip(xs, back))
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-4)
+
+    def test_window_grad(self):
+        """Analytic window gradient vs jax.grad of the product form."""
+        rng = np.random.default_rng(2)
+        t = jnp.asarray(rng.uniform(-0.95, 0.95, (32, 3)).astype(np.float32))
+
+        def w_fn(tt):
+            u = jnp.clip(1.0 - tt * tt, 0.0, None)
+            return jnp.prod(u * u, axis=-1).sum()
+
+        w, g = LAT._window_grad(t)
+        g_ref = jax.grad(w_fn)(t)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestPlan:
+    def test_plan_geometry(self):
+        from nksr_tpu.core import host_build as HB
+        xyz, _ = sphere_points(1200, r=0.5, seed=7)
+        vs, depth = 0.1, 3
+        grids, orders = HB.build_splat_grids_ex(xyz, vs, depth)
+        caps = tuple(max(1 << int(np.ceil(np.log2(len(g.keys) + 1))), 512)
+                     for g in grids)
+        plan = LAT.plan_lattice(grids, caps, xyz, orders[0][0], orders[0][1],
+                                vs, depth, 2, k=4)
+        assert plan is not None
+        spec = plan.spec
+        n = xyz.shape[0]
+        # every point has a unique row destination
+        assert len(np.unique(plan.pt_dest)) == n
+        assert plan.pt_dest.max() < spec.p_rows * spec.s_pt
+        # depth-0 cell is the exact integer floor of the permuted point
+        c0 = np.floor(xyz[plan.pt_perm] / vs).astype(np.int64)
+        np.testing.assert_array_equal(plan.pt_cell0, c0)
+        # nested cells: slot cell at depth d is cell0 >> d mapped into dims
+        slot0 = plan.pt_dest % spec.s_pt
+        for d in range(depth):
+            x, y, z = spec.dims[d]
+            loc = (c0 >> d) - plan.origins[d]
+            ok = ((loc >= 0) & (loc < [x, y, z])).all(-1)
+            assert ok.all()          # margin-2 bbox covers all point cells
+            flat = (loc[:, 0] * y + loc[:, 1]) * z + loc[:, 2]
+            np.testing.assert_array_equal(
+                plan.slot_cell_pt[d][slot0], flat)
+        # voxel maps cover the active voxels exactly
+        for d in range(depth):
+            nn = min(len(grids[d].keys), caps[d])
+            assert plan.vox_active[d][:nn].all()
+            assert not plan.vox_active[d][nn:].any()
+            assert len(np.unique(plan.vox_cell[d][:nn])) == nn
+
+
+class TestLatticeVsSparse:
+    @pytest.mark.parametrize("approx_grad", [False, True])
+    def test_field_values_match_sparse(self, approx_grad, monkeypatch):
+        """Same weights + hierarchy, lattice vs sparse solve: the two
+        engines minimize the same least squares, so field values must
+        agree to CG noise."""
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=48,
+                               solver_tol=1e-6)
+        recon = Reconstructor(config=cfg)
+        xyz, nrm = sphere_points(1500, r=0.5, seed=41)
+        probe = np.asarray(sphere_points(200, r=0.42, seed=42)[0])
+
+        monkeypatch.setenv("NKSR_LATTICE", "1")
+        f_lat = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                                  detail_level=None, structure="splat",
+                                  approx_kernel_grad=approx_grad)
+        v_lat = f_lat.evaluate_f(probe).value
+
+        monkeypatch.setenv("NKSR_LATTICE", "0")
+        f_sp = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                                 detail_level=None, structure="splat",
+                                 approx_kernel_grad=approx_grad)
+        v_sp = f_sp.evaluate_f(probe).value
+
+        scale = np.abs(v_sp).mean() + 1e-6
+        assert np.abs(v_lat - v_sp).mean() / scale < 0.02
+
+    def test_adaptive_structure_lattice(self, monkeypatch):
+        """Lattice engine on the adaptive (decoder != encoder) hierarchy."""
+        monkeypatch.setenv("NKSR_LATTICE", "1")
+        xyz, nrm = sphere_points(2000, r=0.5, seed=43)
+        cfg = P.PipelineConfig(tree_depth=3, adaptive_depth=2, f_maps=8,
+                               basis_dim=8, udf_dim=8,
+                               solver_max_iters=40, solver_tol=1e-4)
+        recon = Reconstructor(config=cfg)
+        f = recon.reconstruct(xyz, nrm, voxel_size=0.08,
+                              detail_level=None, structure="adaptive")
+        mesh = f.extract_dual_mesh()
+        assert mesh.v.shape[0] > 100
+        used = np.unique(mesh.f)
+        r = np.linalg.norm(mesh.v[used], axis=1)
+        assert np.abs(r - 0.5).mean() < 0.06
