@@ -115,14 +115,20 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
                  sorted_base0: np.ndarray, order0: np.ndarray,
                  voxel_size: float, depth: int, adaptive_depth: int,
                  k: int = 4, p_rows: int = 4,
-                 dec_grids=None, dec_caps=None) -> Optional[LatticePlan]:
+                 dec_grids=None, dec_caps=None,
+                 force_dims=None, force_s_pt: Optional[int] = None,
+                 force_cap: Optional[int] = None) -> Optional[LatticePlan]:
     """Build the lattice plan on the host (pure integer numpy, no joins).
 
     ``grids``/``caps``: decoder hierarchy (host_build.HostGrid).
     ``sorted_base0``/``order0``: depth-0 point base keys sorted + argsort
     (from host_build.build_splat_grids_ex — reused, no extra sort).
+    ``force_dims``/``force_s_pt``/``force_cap``: override the derived
+    per-depth dims / point-slot count / point capacity so a BATCH of
+    plans (e.g. the chunks of a sharded reconstruction) shares one
+    LatticeSpec and can be stacked + vmapped.
     Returns None when the dense bbox is too large (caller falls back to
-    the sparse path / chunk mode).
+    the sparse path / chunk mode), or when a forced size is exceeded.
     """
     from ..core.host_build import unpack64
 
@@ -146,6 +152,10 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         # cache, so bucketed dims let same-size scenes (bench reps, chunk
         # grids) reuse compiles; extra cells are inactive and read zeros
         ext = (ext + 7) // 8 * 8
+        if force_dims is not None:
+            if (ext > np.asarray(force_dims[d])).any():
+                return None
+            ext = np.asarray(force_dims[d], np.int64)
         origins.append(o)
         dims.append((int(ext[0]), int(ext[1]), int(ext[2])))
         total += int(ext[0] * ext[1] * ext[2])
@@ -171,7 +181,9 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         if n else np.zeros(0, bool)
     slot_of_pt = np.cumsum(pair_first) - 1 if n else np.zeros(0, np.int64)
     n_slots = int(slot_of_pt[-1]) + 1 if n else 0
-    s_pt = _next_pow2(n_slots)
+    s_pt = _next_pow2(n_slots) if force_s_pt is None else force_s_pt
+    if n_slots > s_pt:
+        return None
 
     cell0_sorted = unpack64(sb).astype(np.int64)          # (n, 3) int
     slot_cell0 = cell0_sorted[pair_first] if n else np.zeros((0, 3), np.int64)
@@ -235,9 +247,12 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         a[:nn] = True
         vox_active.append(a)
 
+    cap_pts = _next_pow2(max(n, 1)) if force_cap is None else force_cap
+    if n > cap_pts:
+        return None
     spec = LatticeSpec(
         dims=tuple(dims), k=k, depth=depth, adaptive_depth=adaptive_depth,
-        s_pt=s_pt, p_rows=p_rows, s_gr=s_gr, n_pts_cap=_next_pow2(max(n, 1)))
+        s_pt=s_pt, p_rows=p_rows, s_gr=s_gr, n_pts_cap=cap_pts)
     return LatticePlan(
         spec=spec, origins=np.stack(origins).astype(np.int32),
         pt_perm=order.astype(np.int32), pt_dest=pt_dest,
@@ -485,6 +500,12 @@ def lattice_solve(spec: LatticeSpec, interp,
         spec, interp, features_dense_fc, act_fc, xyz_sorted, mask_sorted,
         pt_cell0, pt_dest, slot_cells_pt, gr_coords, gr_depth, gr_active,
         slot_cells_gr, voxel_size, approx_grad)
+    # Pin the assembled blocks: without the barrier XLA rematerializes
+    # these multi-GB loop-invariant tensors (and their whole assembly
+    # chain) inside every CG iteration to save HBM — measured ~880 ms/it
+    # vs ~100 ms for the matvec's actual ops (scripts/microbench_lattice).
+    b_pt, m_pt, val_g, b_gr = jax.lax.optimization_barrier(
+        (b_pt, m_pt, val_g, b_gr))
 
     n_pts = jnp.maximum(jnp.sum(mask_sorted.astype(jnp.float32)), 1.0)
     m_vox = jnp.maximum(jnp.sum(gr_active.astype(jnp.float32)), 1.0)
@@ -525,6 +546,7 @@ def lattice_solve(spec: LatticeSpec, interp,
                              slot_cells_gr)
     diag = jax.tree_util.tree_map(
         lambda a, b: a + b + reg_weight, d1, d2)
+    diag = jax.lax.optimization_barrier(diag)   # precond reads it per iter
 
     def precond(r):
         return jax.tree_util.tree_map(lambda ri, di: ri / di, r, diag)

@@ -68,6 +68,12 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
     chip.  Chunk independence is geometric (the host chunker adds halos
     wider than the kernel support), so no cross-chip exchange is needed
     for the solve itself; meshes stitch exactly like the serial path.
+
+    The solve runs on the dense-lattice engine (fields/lattice.py) with
+    one COMMON LatticeSpec across chunks (equal chunk extents make the
+    forced dims cheap), keeping results consistent with the serial chunk
+    loop; if any chunk exceeds the forced sizes the whole batch falls
+    back to the sparse in-graph solve.
     """
     import dataclasses
     import math
@@ -112,6 +118,30 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
         solver_tol=solver_tol, structure_mode="splat",
         feature="normal" if normal is not None else "sensor")
 
+    # ---- host: lattice plans at one common spec (dims = per-depth max)
+    import os as _os
+    plans = None
+    if _os.environ.get("NKSR_LATTICE", "1") == "1":
+        from ..fields.lattice import plan_lattice
+        raw = [plan_lattice(g, caps, xyz[sel], o[0][0], o[0][1], vs,
+                            cfg.tree_depth, cfg.adaptive_depth,
+                            k=cfg.kernel_dim)
+               for g, o, sel in zip(grids_list, orders_list, sel_list)]
+        if all(p is not None for p in raw):
+            force_dims = tuple(
+                tuple(int(max(p.spec.dims[d][a] for p in raw))
+                      for a in range(3))
+                for d in range(cfg.tree_depth))
+            force_s_pt = max(p.spec.s_pt for p in raw)
+            plans = [plan_lattice(g, caps, xyz[sel], o[0][0], o[0][1], vs,
+                                  cfg.tree_depth, cfg.adaptive_depth,
+                                  k=cfg.kernel_dim, force_dims=force_dims,
+                                  force_s_pt=force_s_pt, force_cap=cap_pts)
+                     for g, o, sel in zip(grids_list, orders_list,
+                                          sel_list)]
+            if any(p is None for p in plans):
+                plans = None
+
     # ---- host: per-chunk padded arrays + tables, then stack
     stencil = stencil_offsets(3)
     xyzs, masks, feats, pres = [], [], [], []
@@ -149,6 +179,30 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
         masks.append(mk)
         feats.append(np.asarray(ft))
 
+    # host-side lattice point arrays (slot-sorted order) per chunk
+    lats = None
+    if plans is not None:
+        spec = plans[0].spec
+        lats = []
+        for plan, sel in zip(plans, sel_list):
+            cx = xyz[sel]
+            n = cx.shape[0]
+            xs = np.zeros((cap_pts, 3), np.float32)
+            xs[:n] = cx[plan.pt_perm]
+            ms = np.zeros(cap_pts, bool)
+            ms[:n] = True
+            c0 = np.zeros((cap_pts, 3), np.int32)
+            c0[:n] = plan.pt_cell0
+            dest = np.full(cap_pts, spec.p_rows * spec.s_pt, np.int32)
+            dest[:n] = plan.pt_dest
+            lats.append(dict(
+                xyz_sorted=xs, mask_sorted=ms, pt_cell0=c0, pt_dest=dest,
+                slot_cell_pt=plan.slot_cell_pt,
+                slot_cell_gr=plan.slot_cell_gr, gr_coords=plan.gr_coords,
+                gr_depth=plan.gr_depth, gr_active=plan.gr_active,
+                vox_cell=tuple(plan.vox_cell),
+                vox_active=tuple(plan.vox_active)))
+
     # pad the chunk axis to a multiple of the mesh size (masked-out dupes)
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     b = len(xyzs)
@@ -158,25 +212,97 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
         masks.append(np.zeros_like(masks[0]))
         feats.append(feats[0])
         pres.append(pres[0])
+        if lats is not None:
+            lats.append(lats[0])
     stack = lambda xs: jax.tree_util.tree_map(
         lambda *l: jnp.stack([jnp.asarray(x) for x in l]), *xs)
     batch = (jnp.asarray(np.stack(xyzs)), jnp.asarray(np.stack(masks)),
              jnp.asarray(np.stack(feats)), stack(pres))
 
-    def one(p, x, m, f, pre):
-        out = P.forward(cfg, p, x, m, f, gt_svh=pre.enc_svh,
-                        use_gt_structure=True, pre=pre)
-        return out.field
+    if lats is not None:
+        from ..fields import lattice as LAT
+        from ..fields.kernel_field import KernelField
+        from ..fields.neural_field import LayerField, NeuralField
+        from ..fields import DecoderFn
+        from ..fields.support import InterpolatorFn
+        from ..models.network import MLP, Interpolators
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(PS(), PS("data"), PS("data"), PS("data"), PS("data")),
-        out_specs=PS("data"), check_vma=False)
-    def shard_fn(p, x, m, f, pre):
-        return jax.vmap(lambda xi, mi, fi, pi: one(p, xi, mi, fi, pi))(
-            x, m, f, pre)
+        def one(p, x, m, f, pre, lat):
+            net = cfg.network()
+            out, dec_svh, udf_svh = net.apply(
+                p, x, f, m, pre.enc_svh, pre.enc_svh, True,
+                cfg.capacities, tables=pre.unet_tables,
+                point_splat_idx=pre.point_splat_idx)
+            interp = InterpolatorFn(
+                params={"params": p["params"]["interpolators"]},
+                module=Interpolators(depth=cfg.tree_depth,
+                                     kernel_dim=cfg.kernel_dim,
+                                     n_hidden=cfg.interp_layers,
+                                     hidden_dim=cfg.interp_hidden))
+            nvals = []
+            for d in range(cfg.adaptive_depth):
+                nv = out.normal_features[d]
+                if cfg.feature == "normal":
+                    prior = P.splat_normals_to_grid(
+                        dec_svh.grids[d], x, f, m,
+                        splat_idx=pre.pos_sup_idx[d])
+                    nv = prior + nv
+                nvals.append(nv)
+            gr_targets = -jnp.concatenate(nvals, 0)
+            alphas = LAT.lattice_solve(
+                spec, interp, out.basis_features,
+                lat["xyz_sorted"], lat["mask_sorted"], lat["pt_cell0"],
+                lat["pt_dest"], lat["slot_cell_pt"], lat["slot_cell_gr"],
+                lat["gr_coords"], lat["gr_depth"], lat["gr_active"],
+                gr_targets, lat["vox_cell"], lat["vox_active"],
+                voxel_size=cfg.voxel_size, pos_weight=cfg.pos_weight,
+                normal_weight=cfg.normal_weight,
+                reg_weight=cfg.reg_weight, tol=cfg.solver_tol,
+                max_iters=cfg.solver_max_iters,
+                approx_grad=cfg.approx_kernel_grad)
+            field = KernelField(
+                svh=dec_svh, features=out.basis_features, interp=interp,
+                alpha=alphas, kernel_dim=cfg.kernel_dim,
+                approx_kernel_grad=cfg.approx_kernel_grad)
+            if cfg.udf_enabled:
+                udf_dec = DecoderFn(
+                    params={"params": p["params"]["udf_decoder"]},
+                    module=MLP(hidden=(2 * cfg.udf_dim,) * 2, out=1))
+                mf = NeuralField(svh=udf_svh, features=out.udf_features,
+                                 decoder=udf_dec)
+                mf = mf.set_level_set(2.0 * cfg.voxel_size)
+            else:
+                mf = LayerField(dec_svh, cfg.adaptive_depth)
+            return field.set_mask_field(mf)
 
-    fields = shard_fn(recon.network.params, *batch)
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(PS(), PS("data"), PS("data"), PS("data"),
+                      PS("data"), PS("data")),
+            out_specs=PS("data"), check_vma=False)
+        def shard_fn(p, x, m, f, pre, lat):
+            return jax.vmap(
+                lambda xi, mi, fi, pi, li: one(p, xi, mi, fi, pi, li))(
+                x, m, f, pre, lat)
+
+        fields = shard_fn(recon.network.params, *batch, stack(lats))
+    else:
+        def one(p, x, m, f, pre):
+            out = P.forward(cfg, p, x, m, f, gt_svh=pre.enc_svh,
+                            use_gt_structure=True, pre=pre)
+            return out.field
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(PS(), PS("data"), PS("data"), PS("data"),
+                      PS("data")),
+            out_specs=PS("data"), check_vma=False)
+        def shard_fn(p, x, m, f, pre):
+            return jax.vmap(
+                lambda xi, mi, fi, pi: one(p, xi, mi, fi, pi))(
+                x, m, f, pre)
+
+        fields = shard_fn(recon.network.params, *batch)
 
     chunks = []
     take = lambda tree, i: jax.tree_util.tree_map(lambda a: a[i], tree)

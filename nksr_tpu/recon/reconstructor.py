@@ -307,6 +307,12 @@ class Reconstructor:
         out, dec_svh, udf_svh = _compiled_structure(cfg)(
             self.network.params, jnp.asarray(xyz_p), jnp.asarray(mask),
             feat, enc_svh, gt_svh, tables, jnp.asarray(splat_idx))
+        import os as _os
+        if tm.on and _os.environ.get("NKSR_TIMING_SYNC", "0") == "1":
+            # kills the host/device overlap — only for phase attribution
+            from ..utils.profiling import drain
+            drain(out.basis_features)
+            tm.lap("network (sync)")
         tm.lap("dispatch structure")
 
         input_normal = feat if cfg.feature == "normal" else None
