@@ -90,17 +90,22 @@ class LatticePlan(NamedTuple):
     """Host-built integer tables driving the device solve (numpy)."""
     spec: LatticeSpec
     origins: np.ndarray       # (depth, 3) int32 lattice origin per depth
+    phase: np.ndarray         # (depth, 3) int32: o0 - (o_d << d) per axis —
+    #                           the sub-cell offset that aligns each coarse
+    #                           lattice with the depth-0 frame (fused AV0)
     # points (in slot-sorted order):
     pt_perm: np.ndarray       # (n,) original index of each sorted point
     pt_dest: np.ndarray       # (n,) row destination in (p_rows * s_pt)
     pt_cell0: np.ndarray      # (n, 3) int32 depth-0 cell of each point
     slot_cell_pt: np.ndarray  # (depth, s_pt) flat dense cell per depth (-1 pad -> 0)
+    slot_cell0_pt: np.ndarray  # (s_pt,) flat DEPTH-0 cell per slot, sorted
     # grad slots (one per decoder voxel of depths < adaptive_depth,
     # cap-padded, in hierarchy row order):
     gr_coords: np.ndarray     # (s_gr, 3) voxel coord at its own depth
     gr_depth: np.ndarray      # (s_gr,) own depth of each voxel
     gr_active: np.ndarray     # (s_gr,) bool
     slot_cell_gr: np.ndarray  # (depth, s_gr) flat dense cell per depth
+    slot_cell0_gr: np.ndarray  # (s_gr,) flat depth-0 cell per grad slot
     # per-depth voxel -> dense cell maps (cap-padded, pad -> 0):
     vox_cell: Tuple[np.ndarray, ...]   # (cap_d,) flat dense cell ids
     vox_active: Tuple[np.ndarray, ...]
@@ -139,15 +144,48 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
     # Margin 2 on both sides so local cell 0 can never touch an active
     # voxel: out-of-bbox queries alias to cell 0 and read zero basis —
     # exactly the sparse path's idx==-1 masking.
-    origins, dims, total = [], [], 0
+    lo_t, hi_t = [], []
     for d in range(depth):
         c = dec_grids[d].coords
         if len(c) == 0:
-            o, hi = np.zeros(3, np.int64), np.ones(3, np.int64)
+            lo_t.append(np.zeros(3, np.int64))
+            hi_t.append(np.ones(3, np.int64))
         else:
-            o = c.min(0).astype(np.int64) - 2
-            hi = c.max(0).astype(np.int64) + 2
-        ext = hi - o + 1
+            lo_t.append(c.min(0).astype(np.int64) - 2)
+            hi_t.append(c.max(0).astype(np.int64) + 2)
+    # The depth-0 FRAME must contain every fused-gather address (AV0 is
+    # indexed at depth-0 resolution): all point depth-0 cells and every
+    # grad slot's (c_dd << dd).  With a pruned decoder depth 0 (adaptive
+    # hierarchies) those extend beyond the depth-0 voxel bbox.
+    cand_lo = [lo_t[0] + 2]
+    cand_hi = [hi_t[0] - 2]
+    sb_all = sorted_base0
+    if n and len(sb_all):
+        c0_all = unpack64(sb_all).astype(np.int64)
+        cand_lo.append(c0_all.min(0))
+        cand_hi.append(c0_all.max(0))
+    for dd in range(adaptive_depth):
+        c = dec_grids[dd].coords
+        if len(c):
+            cand_lo.append(c.min(0).astype(np.int64) * (1 << dd))
+            cand_hi.append(c.max(0).astype(np.int64) * (1 << dd))
+    lo_t[0] = np.minimum.reduce(cand_lo) - 2
+    hi_t[0] = np.maximum.reduce(cand_hi) + 2
+    origins, dims, phase, total = [], [], [], 0
+    for d in range(depth):
+        if d == 0:
+            o = lo_t[0]
+            ext = hi_t[0] - o + 1
+        else:
+            # align with the depth-0 frame for the fused AV0 buffer:
+            # o_d <= o0 >> d guarantees phase = o0 - (o_d << d) >= 0, and
+            # the coarse lattice must cover BOTH its own active extent and
+            # the upsampled window [o0, o0 + ext0).
+            o = np.minimum(lo_t[d], origins[0] >> d)
+            ph = origins[0] - o * (1 << d)
+            ext0 = np.asarray(dims[0], np.int64)
+            need_up = (ph + ext0 + (1 << d) - 1) >> d
+            ext = np.maximum(hi_t[d] - o + 1, need_up)
         # round dims up to multiples of 8: the LatticeSpec keys the jit
         # cache, so bucketed dims let same-size scenes (bench reps, chunk
         # grids) reuse compiles; extra cells are inactive and read zeros
@@ -157,6 +195,7 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
                 return None
             ext = np.asarray(force_dims[d], np.int64)
         origins.append(o)
+        phase.append(origins[0] - o * (1 << d))
         dims.append((int(ext[0]), int(ext[1]), int(ext[2])))
         total += int(ext[0] * ext[1] * ext[2])
     if total * k > 160_000_000:     # dense coefficient budget (~2.5 GB f32)
@@ -185,7 +224,8 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
     if n_slots > s_pt:
         return None
 
-    cell0_sorted = unpack64(sb).astype(np.int64)          # (n, 3) int
+    cell0_sorted = c0_all if n and len(sb_all) else \
+        unpack64(sb).astype(np.int64)                     # (n, 3) int
     slot_cell0 = cell0_sorted[pair_first] if n else np.zeros((0, 3), np.int64)
 
     def flat_cell(cd: np.ndarray, d: int) -> np.ndarray:
@@ -199,6 +239,13 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
     slot_cell_pt = np.zeros((depth, s_pt), np.int32)
     for d in range(depth):
         slot_cell_pt[d, :n_slots] = flat_cell(slot_cell0 >> d, d)
+    # fused depth-0 slot cells (sorted by construction: slots enumerate
+    # the sorted point keys).  Pad slots repeat the last cell so the
+    # sortedness hint stays valid; their rows are zero.
+    slot_cell0_pt = np.zeros(s_pt, np.int32)
+    if n_slots:
+        slot_cell0_pt[:n_slots] = flat_cell(slot_cell0, 0)
+        slot_cell0_pt[n_slots:] = slot_cell0_pt[n_slots - 1]
 
     pt_dest = (row_in_slot * s_pt + slot_of_pt).astype(np.int32)
 
@@ -234,6 +281,22 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         slot_cell_gr[d, :s_gr] = flat_cell(cells, d)
     slot_cell_gr = slot_cell_gr[:, :s_gr] if s_gr else \
         np.zeros((depth, 0), np.int32)
+    # fused depth-0 cell of each grad slot: a depth-dd voxel's support
+    # cell at depth d is ((c_dd << dd) >> d) for every d, so indexing the
+    # AV0 buffer at (c_dd << dd) reads the right lanes at all depths
+    if s_gr:
+        c0_gr = np.zeros((s_gr, 3), np.int64)
+        for dd in range(adaptive_depth):
+            m = gr_depth == dd
+            c0_gr[m] = gr_coords[m] * (1 << dd)
+        slot_cell0_gr = flat_cell(c0_gr, 0)
+        slot_cell0_gr[~gr_active] = 0
+        if adaptive_depth == 1:
+            # single depth block: actives are key-sorted; lift the zero
+            # pads so the sorted-gather hint holds (their rows are zero)
+            slot_cell0_gr = np.maximum.accumulate(slot_cell0_gr)
+    else:
+        slot_cell0_gr = np.zeros(0, np.int32)
 
     # ---- per-depth voxel -> dense cell (coefficient init/extract) -------
     vox_cell, vox_active = [], []
@@ -255,11 +318,13 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         s_pt=s_pt, p_rows=p_rows, s_gr=s_gr, n_pts_cap=cap_pts)
     return LatticePlan(
         spec=spec, origins=np.stack(origins).astype(np.int32),
+        phase=np.stack(phase).astype(np.int32),
         pt_perm=order.astype(np.int32), pt_dest=pt_dest,
         pt_cell0=cell0_sorted.astype(np.int32),
-        slot_cell_pt=slot_cell_pt,
+        slot_cell_pt=slot_cell_pt, slot_cell0_pt=slot_cell0_pt,
         gr_coords=gr_coords.astype(np.int32), gr_depth=gr_depth,
         gr_active=gr_active, slot_cell_gr=slot_cell_gr,
+        slot_cell0_gr=slot_cell0_gr.astype(np.int32),
         vox_cell=tuple(vox_cell), vox_active=tuple(vox_active))
 
 
@@ -281,18 +346,21 @@ def _corner_cat(flat: jnp.ndarray, spec: LatticeSpec, d: int,
 
 def _corner_scatter_back(acc: jnp.ndarray, spec: LatticeSpec, d: int,
                          v: int) -> jnp.ndarray:
-    """Adjoint of ``_corner_cat``: (n_cells, 8v) -> flat (n_cells*v,)."""
+    """Adjoint of ``_corner_cat``: (n_cells, 8v) -> flat (n_cells*v,).
+
+    Written as a SUM of 8 statically shifted blocks (not sequential
+    read-modify-write passes over the flat buffer) so XLA fuses it into
+    one streaming pass: out[m] = sum_i acc[m - s_i, block_i]."""
     n = spec.n_cells(d)
     strides = spec.corner_strides(d)
-    pad = (strides[-1] + 1) * v
-    out = jnp.zeros((n * v + pad,), acc.dtype)
+    out = 0.0
     for i, s in enumerate(strides):
-        out = jax.lax.dynamic_update_slice(
-            out,
-            jax.lax.dynamic_slice(out, (s * v,), (n * v,))
-            + acc[:, i * v:(i + 1) * v].reshape(-1),
-            (s * v,))
-    return out[:n * v]
+        part = acc[:, i * v:(i + 1) * v].reshape(-1)        # (n*v,)
+        if s:
+            part = jnp.concatenate(
+                [jnp.zeros((s * v,), acc.dtype), part[:(n - s) * v]])
+        out = out + part
+    return out
 
 
 def _row_blocks(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
@@ -318,7 +386,131 @@ def _row_blocks_adjoint(spec: LatticeSpec, y: jnp.ndarray,
     return tuple(outs)
 
 
+# ---------------------------------------------- fused depth-0 support (AV0)
+def _upsample_to_0(av: jnp.ndarray, spec: LatticeSpec, d: int,
+                   phase_d: jnp.ndarray) -> jnp.ndarray:
+    """(cells_d, v) -> (cells_0, v): nearest (block) upsampling aligned to
+    the depth-0 frame.  ``phase_d``: (3,) int32 runtime offset
+    ``o0 - (o_d << d)`` (dynamic so chunk batches can share one compile).
+    """
+    if d == 0:
+        return av
+    x0, y0, z0 = spec.dims[0]
+    xd, yd, zd = spec.dims[d]
+    f = 1 << d
+    v = av.shape[-1]
+    a = av.reshape(xd, yd, zd, v)
+    a = jnp.broadcast_to(a[:, None, :, None, :, None, :],
+                         (xd, f, yd, f, zd, f, v))
+    a = a.reshape(xd * f, yd * f, zd * f, v)
+    a = jax.lax.dynamic_slice(
+        a, (phase_d[0], phase_d[1], phase_d[2], 0), (x0, y0, z0, v))
+    return a.reshape(spec.n_cells(0), v)
+
+
+def _downsample_from_0(y: jnp.ndarray, spec: LatticeSpec, d: int,
+                       phase_d: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of ``_upsample_to_0``: (cells_0, v) -> (cells_d, v)."""
+    if d == 0:
+        return y
+    x0, y0d, z0 = spec.dims[0]
+    xd, yd, zd = spec.dims[d]
+    f = 1 << d
+    v = y.shape[-1]
+    big = jnp.zeros((xd * f, yd * f, zd * f, v), y.dtype)
+    big = jax.lax.dynamic_update_slice(
+        big, y.reshape(x0, y0d, z0, v),
+        (phase_d[0], phase_d[1], phase_d[2], 0))
+    return big.reshape(xd, f, yd, f, zd, f, v).sum(
+        axis=(1, 3, 5)).reshape(spec.n_cells(d), v)
+
+
+def _av0(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
+         phase: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Fused per-cell support buffer at depth-0 resolution.
+
+    (cells_0, depth*8k): lane block d holds the 8-corner coefficients of
+    the cell's depth-d ancestor — so ONE row gather serves all depths.
+    The concat hits exactly 128 lanes at the default (depth 4, k 4): no
+    lane padding anywhere.
+    """
+    parts = []
+    for d in range(spec.depth):
+        av = _corner_cat(xs[d], spec, d, spec.k)
+        parts.append(_upsample_to_0(av, spec, d, phase[d]).astype(dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _av0_adjoint(spec: LatticeSpec, y0: jnp.ndarray,
+                 phase: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Adjoint of ``_av0`` (in f32): (cells_0, lanes) -> per-depth flat."""
+    outs = []
+    w = 8 * spec.k
+    for d in range(spec.depth):
+        part = _downsample_from_0(
+            y0[:, d * w:(d + 1) * w].astype(jnp.float32), spec, d, phase[d])
+        outs.append(_corner_scatter_back(part, spec, d, spec.k))
+    return tuple(outs)
+
+
+def _take_rows_sorted(tab: jnp.ndarray, idx: jnp.ndarray,
+                      is_sorted: bool) -> jnp.ndarray:
+    """tab[idx] along axis 0 with an explicit sortedness hint (the slot
+    cells are nondecreasing by construction; XLA can lower sorted gathers
+    with better locality)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(
+        tab, idx[:, None], dnums, (1, tab.shape[1]),
+        indices_are_sorted=is_sorted, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
 # ----------------------------------------------------------- row assembly
+def _interp_layers(interp, d: int):
+    """[(kernel, bias), ...] of the depth-d interpolator MLP."""
+    p = interp.params["params"][f"interp_{d}"]
+    return [(p[f"Dense_{i}"]["kernel"], p[f"Dense_{i}"]["bias"])
+            for i in range(len(p))]
+
+
+def _blockdiag8(layers):
+    """Per-corner MLP -> one MXU matmul chain: kron(I8, W) block-diagonal
+    weights apply the same small Dense to all 8 corners at once, keeping
+    every temp 2-D with >=128 lanes (a (C, 8, 16) temp would pad its
+    16-lane axis 8x; (C, 128) pads nothing)."""
+    return [(jnp.kron(jnp.eye(8, dtype=w.dtype), w), jnp.tile(b, 8))
+            for w, b in layers]
+
+
+def _raw_blockdiag(layers8, x, tan_consts):
+    """Evaluate ``1 + MLP`` over 8 corners at once, with optional forward
+    tangents.
+
+    ``x``: (C, 8*in) interleaved per-corner inputs.  ``tan_consts``: for
+    each requested tangent, the CONSTANT first-layer pre-activation row
+    (the tangent of the input is the same indicator in every corner block,
+    so its image under the block-diagonal first layer is one broadcast
+    row — no extra matmul).  Returns (raw (C, 8*out), [tangents]).
+    """
+    h = x
+    tans: List[jnp.ndarray] = []
+    last = len(layers8) - 1
+    for li, (w, b) in enumerate(layers8):
+        pre = h @ w + b
+        t_pre = [jnp.broadcast_to(c, pre.shape) for c in tan_consts] \
+            if li == 0 else [t @ w for t in tans]
+        if li < last:
+            s = jax.nn.sigmoid(pre)
+            h = pre * s                       # silu
+            ds = s * (1.0 + pre * (1.0 - s))  # silu'
+            tans = [ds * t for t in t_pre]
+        else:
+            h = pre
+            tans = t_pre
+    return 1.0 + h, tans
+
+
 def _window_grad(t: jnp.ndarray):
     """C1 bump window prod (1-t_a^2)^2 and its gradient, (..., 3)."""
     u = jnp.clip(1.0 - t * t, 0.0, None)
@@ -354,6 +546,13 @@ def assemble_rows(spec: LatticeSpec, interp, features_dense_fc,
     """
     k, depth = spec.k, spec.depth
     offs = jnp.asarray(_corner_offsets())
+    raw_layers = [_interp_layers(interp, d) for d in range(depth)]
+    layers8 = [_blockdiag8(ls) for ls in raw_layers]
+    # constant first-layer tangent rows: the z0 tangent is the same axis
+    # indicator in every corner block -> its first-layer image is one
+    # tiled row of W1 (see _raw_blockdiag)
+    tan_consts = [[jnp.tile(raw_layers[d][0][0][a], 8) for a in range(3)]
+                  for d in range(depth)]
 
     # ---------------- point rows ----------------
     def pt_chunk(args):
@@ -365,12 +564,13 @@ def assemble_rows(spec: LatticeSpec, interp, features_dense_fc,
             z0 = (x / vs_d)[:, None, :] - cell_d[:, None, :] - offs[None]
             fc = jnp.take(features_dense_fc[d], dest_cell[d], axis=0)
             cb = fc.shape[-1] // 8
-            fv = fc.reshape(-1, 8, cb)
+            xin = jnp.concatenate([z0, fc.reshape(-1, 8, cb)],
+                                  axis=-1).reshape(-1, 8 * (3 + cb))
+            raw, _ = _raw_blockdiag(layers8[d], xin, [])   # (C, 8k)
             act = jnp.take(act_fc[d], dest_cell[d], axis=0)  # (C, 8)
-            raw = interp.raw(d, z0, fv)                # (C, 8, K)
             w, _ = _window_grad(z0)
-            b = raw * w[..., None] * act[..., None]
-            lanes_parts.append(b.reshape(-1, 8 * k))
+            wk = jnp.repeat(w * act, k, axis=-1)           # (C, 8k)
+            lanes_parts.append(raw * wk)
         out = jnp.concatenate(lanes_parts, axis=-1)    # (C, lanes)
         return jnp.where(m[:, None], out, 0.0)
 
@@ -414,29 +614,22 @@ def assemble_rows(spec: LatticeSpec, interp, features_dense_fc,
             z0 = (x / vs_d)[:, None, :] - cell_d[:, None, :] - offs[None]
             fc = jnp.take(features_dense_fc[d], dest_cell[d], axis=0)
             cb = fc.shape[-1] // 8
-            fv = fc.reshape(-1, 8, cb)
-            act = jnp.take(act_fc[d], dest_cell[d], axis=0)
-
-            def f(z):
-                return interp.raw(d, z, fv)
-
-            w, dw = _window_grad(z0)
-            raw = f(z0)
+            xin = jnp.concatenate([z0, fc.reshape(-1, 8, cb)],
+                                  axis=-1).reshape(-1, 8 * (3 + cb))
+            act = jnp.take(act_fc[d], dest_cell[d], axis=0)   # (C, 8)
+            raw, draws = _raw_blockdiag(
+                layers8[d], xin, [] if approx_grad else tan_consts[d])
             if approx_grad:
                 draws = [jnp.zeros_like(raw)] * 3
-            else:
-                draws = []
-                for a in range(3):
-                    e = jnp.zeros_like(z0).at[..., a].set(1.0)
-                    _, tang = jax.jvp(f, (z0,), (e,))
-                    draws.append(tang)
-            b = raw * w[..., None] * act[..., None]
-            vals.append(b.reshape(-1, 8 * k))
+            w, dw = _window_grad(z0)                          # (C,8),(C,8,3)
+            wa = w * act
+            val = raw * jnp.repeat(wa, k, axis=-1)
+            vals.append(val)
             comp = []
             for a in range(3):
-                db = (raw * dw[..., a:a + 1] + draws[a] * w[..., None]) \
-                    * act[..., None] / vs_d
-                comp.append(db.reshape(-1, 8 * k))
+                db = (raw * jnp.repeat(dw[..., a] * act, k, axis=-1)
+                      + draws[a] * jnp.repeat(wa, k, axis=-1)) / vs_d
+                comp.append(db)
             grads.append(jnp.stack(comp, 0))           # (3, C, 8k)
         val = jnp.concatenate(vals, axis=-1)           # (C, lanes)
         grd = jnp.concatenate(grads, axis=-1)          # (3, C, lanes)
@@ -473,16 +666,31 @@ def lattice_solve(spec: LatticeSpec, interp,
                   voxel_size: float,
                   pos_weight: float, normal_weight: float,
                   reg_weight: float, tol: float, max_iters: int,
-                  approx_grad: bool) -> Tuple[jnp.ndarray, ...]:
+                  approx_grad: bool, *,
+                  slot_cell0_pt: jnp.ndarray, slot_cell0_gr: jnp.ndarray,
+                  phase: jnp.ndarray,
+                  compute_dtype: str = "float32") -> Tuple[jnp.ndarray, ...]:
     """Fit flat per-depth coefficients (cap_d * K,) — same output
     convention as KernelField.solve_non_fused, same math, dense engine.
 
     ``gr_targets``: (s_gr, 3) gradient targets (already includes the
     residual normal prior; weights applied here).
+
+    The CG matvec uses the fused AV0 formulation: one (cells_0, lanes)
+    support buffer built from dense shifts/upsamples, ONE sorted row
+    gather + ONE sorted row scatter per family per direction (instead of
+    ``depth`` of each), with the row blocks held in ``compute_dtype``
+    (bf16 on TPU: half the HBM traffic of the dominant streams, f32
+    accumulation everywhere).
     """
     from ..solver.pcg import solve_spd
 
     depth, k = spec.depth, spec.k
+    cdt = jnp.dtype(compute_dtype)
+    # sortedness of the fused slot cells (see plan_lattice): pt slots
+    # enumerate sorted point keys; gr slots are key-sorted only when they
+    # come from a single hierarchy depth
+    gr_sorted = spec.adaptive_depth == 1
 
     # dense per-cell corner features + corner activity (one-time)
     features_dense_fc, act_fc = [], []
@@ -500,33 +708,41 @@ def lattice_solve(spec: LatticeSpec, interp,
         spec, interp, features_dense_fc, act_fc, xyz_sorted, mask_sorted,
         pt_cell0, pt_dest, slot_cells_pt, gr_coords, gr_depth, gr_active,
         slot_cells_gr, voxel_size, approx_grad)
+    del val_g
     # Pin the assembled blocks: without the barrier XLA rematerializes
     # these multi-GB loop-invariant tensors (and their whole assembly
-    # chain) inside every CG iteration to save HBM — measured ~880 ms/it
-    # vs ~100 ms for the matvec's actual ops (scripts/microbench_lattice).
-    b_pt, m_pt, val_g, b_gr = jax.lax.optimization_barrier(
-        (b_pt, m_pt, val_g, b_gr))
+    # chain) inside every CG iteration to save HBM.
+    b_pt, m_pt, b_gr = jax.lax.optimization_barrier(
+        (b_pt.astype(cdt), m_pt, b_gr.astype(cdt)))
 
     n_pts = jnp.maximum(jnp.sum(mask_sorted.astype(jnp.float32)), 1.0)
     m_vox = jnp.maximum(jnp.sum(gr_active.astype(jnp.float32)), 1.0)
-    w_pt = m_pt * (pos_weight / n_pts)                        # (p_rows, s_pt)
+    w_pt = m_pt.astype(jnp.float32) * (pos_weight / n_pts)    # (p_rows, s_pt)
     w_gr = gr_active.astype(jnp.float32) * (
         normal_weight / m_vox * voxel_size ** 2)              # (s_gr,)
 
+    f32 = jnp.float32
+
     def apply_A(xs):
-        """rows = A x for both row families."""
-        av_pt = _row_blocks(spec, xs, slot_cells_pt)          # (s_pt, L)
-        t_pt = jnp.einsum('rsl,sl->rs', b_pt, av_pt)
-        av_gr = _row_blocks(spec, xs, slot_cells_gr)          # (s_gr, L)
-        t_gr = jnp.einsum('rsl,sl->rs', b_gr, av_gr)
+        """rows = A x for both row families (one fused support gather)."""
+        av0 = _av0(spec, xs, phase, cdt)                      # (C0, L)
+        av_pt = _take_rows_sorted(av0, slot_cell0_pt, True)
+        av_gr = _take_rows_sorted(av0, slot_cell0_gr, gr_sorted)
+        t_pt = jnp.einsum('rsl,sl->rs', b_pt, av_pt,
+                          preferred_element_type=f32)
+        t_gr = jnp.einsum('rsl,sl->rs', b_gr, av_gr,
+                          preferred_element_type=f32)
         return t_pt, t_gr
 
     def apply_AT(t_pt, t_gr):
-        y_pt = jnp.einsum('rsl,rs->sl', b_pt, t_pt)
-        y_gr = jnp.einsum('rsl,rs->sl', b_gr, t_gr)
-        o1 = _row_blocks_adjoint(spec, y_pt, slot_cells_pt)
-        o2 = _row_blocks_adjoint(spec, y_gr, slot_cells_gr)
-        return jax.tree_util.tree_map(jnp.add, o1, o2)
+        y_pt = jnp.einsum('rsl,rs->sl', b_pt, t_pt.astype(cdt),
+                          preferred_element_type=f32)
+        y_gr = jnp.einsum('rsl,rs->sl', b_gr, t_gr.astype(cdt),
+                          preferred_element_type=f32)
+        y0 = jnp.zeros((spec.n_cells(0), spec.lanes), f32)
+        y0 = y0.at[slot_cell0_pt].add(y_pt, indices_are_sorted=True)
+        y0 = y0.at[slot_cell0_gr].add(y_gr, indices_are_sorted=gr_sorted)
+        return _av0_adjoint(spec, y0, phase)
 
     def matvec(xs):
         t_pt, t_gr = apply_A(xs)
@@ -535,17 +751,19 @@ def lattice_solve(spec: LatticeSpec, interp,
             lambda yi, xi: yi + reg_weight * xi, y, xs)
 
     # rhs = A_g^T W_g targets (value rows have target 0)
-    rhs = apply_AT(jnp.zeros_like(w_pt),
+    rhs = apply_AT(jnp.zeros((spec.p_rows, spec.s_pt), f32),
                    w_gr[None, :] * jnp.swapaxes(gr_targets, 0, 1))
 
-    # Jacobi diagonal: sum_rows w * basis^2 per (cell, k)
-    d1 = _row_blocks_adjoint(spec, jnp.einsum('rsl,rs->sl', b_pt * b_pt,
-                                              w_pt), slot_cells_pt)
-    d2 = _row_blocks_adjoint(spec, jnp.einsum('rsl,rs->sl', b_gr * b_gr,
-                                              w_gr[None].repeat(3, 0)),
-                             slot_cells_gr)
+    # Jacobi diagonal: sum_rows w * basis^2 per (cell, k) — one fused
+    # scatter pass over both families
+    bsq_pt = jnp.einsum('rsl,rs->sl', b_pt.astype(f32) ** 2, w_pt)
+    bsq_gr = jnp.einsum('rsl,rs->sl', b_gr.astype(f32) ** 2,
+                        w_gr[None].repeat(3, 0))
+    y0d = jnp.zeros((spec.n_cells(0), spec.lanes), f32)
+    y0d = y0d.at[slot_cell0_pt].add(bsq_pt, indices_are_sorted=True)
+    y0d = y0d.at[slot_cell0_gr].add(bsq_gr, indices_are_sorted=gr_sorted)
     diag = jax.tree_util.tree_map(
-        lambda a, b: a + b + reg_weight, d1, d2)
+        lambda a: a + reg_weight, _av0_adjoint(spec, y0d, phase))
     diag = jax.lax.optimization_barrier(diag)   # precond reads it per iter
 
     def precond(r):

@@ -47,6 +47,10 @@ class PipelineConfig:
     approx_kernel_grad: bool = False
     fused_mode: bool = False         # recompute supports inside CG matvecs
     conv_dtype: str = "float32"      # 'bfloat16' = MXU-native UNet convs
+    # dtype of the lattice CG matvec's streamed row blocks / support
+    # buffer (f32 accumulation regardless).  'auto' = bf16 on TPU
+    # backends, f32 on CPU — resolved by the Reconstructor.
+    solver_compute_dtype: str = "auto"
     capacities: Tuple[int, ...] = (65536, 32768, 16384, 8192)
     adaptive_tau: float = 0.1
     # decoder hierarchy source at inference: 'predicted' (structure head,

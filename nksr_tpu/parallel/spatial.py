@@ -113,10 +113,12 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
     caps = tuple(_pow2(max(len(g[d].keys) for g in grids_list))
                  for d in range(cfg.tree_depth))
     cap_pts = _pow2(max(int(s.sum()) for s in sel_list))
+    from ..recon.reconstructor import resolve_solver_dtype
     cfg = dataclasses.replace(
         cfg, capacities=caps, approx_kernel_grad=approx_kernel_grad,
         solver_tol=solver_tol, structure_mode="splat",
-        feature="normal" if normal is not None else "sensor")
+        feature="normal" if normal is not None else "sensor",
+        solver_compute_dtype=resolve_solver_dtype(cfg.solver_compute_dtype))
 
     # ---- host: lattice plans at one common spec (dims = per-depth max)
     import os as _os
@@ -198,7 +200,10 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
             lats.append(dict(
                 xyz_sorted=xs, mask_sorted=ms, pt_cell0=c0, pt_dest=dest,
                 slot_cell_pt=plan.slot_cell_pt,
-                slot_cell_gr=plan.slot_cell_gr, gr_coords=plan.gr_coords,
+                slot_cell_gr=plan.slot_cell_gr,
+                slot_cell0_pt=plan.slot_cell0_pt,
+                slot_cell0_gr=plan.slot_cell0_gr,
+                phase=plan.phase, gr_coords=plan.gr_coords,
                 gr_depth=plan.gr_depth, gr_active=plan.gr_active,
                 vox_cell=tuple(plan.vox_cell),
                 vox_active=tuple(plan.vox_active)))
@@ -259,7 +264,11 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
                 normal_weight=cfg.normal_weight,
                 reg_weight=cfg.reg_weight, tol=cfg.solver_tol,
                 max_iters=cfg.solver_max_iters,
-                approx_grad=cfg.approx_kernel_grad)
+                approx_grad=cfg.approx_kernel_grad,
+                slot_cell0_pt=lat["slot_cell0_pt"],
+                slot_cell0_gr=lat["slot_cell0_gr"],
+                phase=lat["phase"],
+                compute_dtype=cfg.solver_compute_dtype)
             field = KernelField(
                 svh=dec_svh, features=out.basis_features, interp=interp,
                 alpha=alphas, kernel_dim=cfg.kernel_dim,

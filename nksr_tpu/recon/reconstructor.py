@@ -32,6 +32,14 @@ def _next_pow2(n: int) -> int:
     return 1 << max(8, int(math.ceil(math.log2(max(n, 1)))))
 
 
+def resolve_solver_dtype(dt: str) -> str:
+    """'auto' -> bf16 on TPU-class backends (half the HBM traffic on the
+    CG matvec's dominant streams; accumulation stays f32), f32 on CPU."""
+    if dt != "auto":
+        return dt
+    return "float32" if jax.default_backend() == "cpu" else "bfloat16"
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_forward(cfg: P.PipelineConfig):
     def fn(params, xyz, mask, feat):
@@ -70,7 +78,8 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec):
     from ..models.network import MLP, Interpolators
 
     def fn(params, xyz_sorted, mask_sorted, pt_cell0, pt_dest,
-           slot_cells_pt, slot_cells_gr, gr_coords, gr_depth, gr_active,
+           slot_cells_pt, slot_cells_gr, slot_cell0_pt, slot_cell0_gr,
+           phase, gr_coords, gr_depth, gr_active,
            vox_cell, vox_active, xyz_p, mask, input_normal,
            dec_svh, udf_svh, basis_feats, normal_feats, udf_feats,
            prior_splat_idx):
@@ -101,7 +110,9 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec):
             pos_weight=cfg.pos_weight, normal_weight=cfg.normal_weight,
             reg_weight=cfg.reg_weight, tol=cfg.solver_tol,
             max_iters=cfg.solver_max_iters,
-            approx_grad=cfg.approx_kernel_grad)
+            approx_grad=cfg.approx_kernel_grad,
+            slot_cell0_pt=slot_cell0_pt, slot_cell0_gr=slot_cell0_gr,
+            phase=phase, compute_dtype=cfg.solver_compute_dtype)
         field = KernelField(
             svh=dec_svh, features=basis_feats, interp=interp,
             alpha=alphas, kernel_dim=cfg.kernel_dim,
@@ -360,6 +371,9 @@ class Reconstructor:
                 jnp.asarray(c0), jnp.asarray(dest),
                 jnp.asarray(plan.slot_cell_pt),
                 jnp.asarray(plan.slot_cell_gr),
+                jnp.asarray(plan.slot_cell0_pt),
+                jnp.asarray(plan.slot_cell0_gr),
+                jnp.asarray(plan.phase),
                 jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
                 jnp.asarray(plan.gr_active),
                 tuple(jnp.asarray(v) for v in plan.vox_cell),
@@ -458,7 +472,9 @@ class Reconstructor:
             self.config, voxel_size=vs, capacities=tuple(caps),
             approx_kernel_grad=approx_kernel_grad, solver_tol=solver_tol,
             solver_max_iters=solver_max_iters or self.config.solver_max_iters,
-            feature=feature, fused_mode=fused_mode)
+            feature=feature, fused_mode=fused_mode,
+            solver_compute_dtype=resolve_solver_dtype(
+                self.config.solver_compute_dtype))
 
 
 def get_estimate_normal_preprocess_fn(knn: int = 64,

@@ -72,6 +72,43 @@ def main():
     b_pt = jnp.asarray(rng.normal(size=(4, S_PT, LANES)).astype(np.float32))
     y_gr = jnp.asarray(rng.normal(size=(S_GR, LANES)).astype(np.float32))
 
+    only_fused = os.environ.get("NKSR_MB_FUSED_ONLY", "0") == "1"
+    if only_fused:
+        phase = jnp.asarray(np.zeros((4, 3), np.int32))
+        cell0_pt = jnp.asarray(np.sort(
+            rng.integers(0, NC0, size=S_PT).astype(np.int32)))
+        cell0_gr = jnp.asarray(np.sort(
+            rng.integers(0, NC0, size=S_GR).astype(np.int32)))
+
+        def matvec_fused(c, x, bp, bg, dt):
+            f32 = jnp.float32
+            av0 = LAT._av0(spec, x, phase, dt)
+            av_pt = LAT._take_rows_sorted(av0, cell0_pt, True)
+            av_gr = LAT._take_rows_sorted(av0, cell0_gr, True)
+            t_pt = jnp.einsum('rsl,sl->rs', bp, av_pt,
+                              preferred_element_type=f32)
+            t_gr = jnp.einsum('rsl,sl->rs', bg, av_gr,
+                              preferred_element_type=f32)
+            y_pt = jnp.einsum('rsl,rs->sl', bp, t_pt.astype(dt),
+                              preferred_element_type=f32)
+            y_gr = jnp.einsum('rsl,rs->sl', bg, t_gr.astype(dt),
+                              preferred_element_type=f32)
+            y0 = jnp.zeros((NC0, spec.lanes), f32)
+            y0 = y0.at[cell0_pt].add(y_pt, indices_are_sorted=True)
+            y0 = y0.at[cell0_gr].add(y_gr, indices_are_sorted=True)
+            outs = LAT._av0_adjoint(spec, y0, phase)
+            return c + sum(o.sum() for o in outs)
+
+        timed("full matvec fused f32",
+              lambda c: matvec_fused(c, xs, b_pt, b_gr, jnp.float32),
+              jnp.zeros(()), reps=4)
+        bp16 = b_pt.astype(jnp.bfloat16)
+        bg16 = b_gr.astype(jnp.bfloat16)
+        timed("full matvec fused bf16",
+              lambda c: matvec_fused(c, xs, bp16, bg16, jnp.bfloat16),
+              jnp.zeros(()), reps=4)
+        return
+
     # 1. corner_cat depth-0 (8 static shifted slices + concat)
     timed("corner_cat d0 (5.1M cells, k=4)",
           lambda c, x: c + LAT._corner_cat(x, spec, 0, K).sum(),
@@ -129,8 +166,43 @@ def main():
         o2 = LAT._row_blocks_adjoint(spec, y_gr2, cells_gr)
         return c + sum(a.sum() + b.sum() for a, b in zip(o1, o2))
 
-    timed("full matvec composite",
+    timed("full matvec composite (old per-depth)",
           lambda c: matvec(c, xs), jnp.zeros(()), reps=4)
+
+    # 10. fused AV0 matvec (the current engine) — f32 and bf16 row blocks
+    phase = jnp.asarray(np.zeros((4, 3), np.int32))
+    cell0_pt = jnp.asarray(np.sort(
+        rng.integers(0, NC0, size=S_PT).astype(np.int32)))
+    cell0_gr = jnp.asarray(np.sort(
+        rng.integers(0, NC0, size=S_GR).astype(np.int32)))
+
+    def matvec_fused(c, x, bp, bg, dt):
+        f32 = jnp.float32
+        av0 = LAT._av0(spec, x, phase, dt)
+        av_pt = LAT._take_rows_sorted(av0, cell0_pt, True)
+        av_gr = LAT._take_rows_sorted(av0, cell0_gr, True)
+        t_pt = jnp.einsum('rsl,sl->rs', bp, av_pt,
+                          preferred_element_type=f32)
+        t_gr = jnp.einsum('rsl,sl->rs', bg, av_gr,
+                          preferred_element_type=f32)
+        y_pt = jnp.einsum('rsl,rs->sl', bp, t_pt.astype(dt),
+                          preferred_element_type=f32)
+        y_gr = jnp.einsum('rsl,rs->sl', bg, t_gr.astype(dt),
+                          preferred_element_type=f32)
+        y0 = jnp.zeros((NC0, spec.lanes), f32)
+        y0 = y0.at[cell0_pt].add(y_pt, indices_are_sorted=True)
+        y0 = y0.at[cell0_gr].add(y_gr, indices_are_sorted=True)
+        outs = LAT._av0_adjoint(spec, y0, phase)
+        return c + sum(o.sum() for o in outs)
+
+    timed("full matvec fused f32",
+          lambda c: matvec_fused(c, xs, b_pt, b_gr, jnp.float32),
+          jnp.zeros(()), reps=4)
+    bp16 = b_pt.astype(jnp.bfloat16)
+    bg16 = b_gr.astype(jnp.bfloat16)
+    timed("full matvec fused bf16",
+          lambda c: matvec_fused(c, xs, bp16, bg16, jnp.bfloat16),
+          jnp.zeros(()), reps=4)
 
 
 if __name__ == "__main__":

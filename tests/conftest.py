@@ -9,11 +9,18 @@ import sys
 if not os.environ.get("NKSR_TPU_TEST_TPU"):
     # Force CPU: the sandbox pre-sets JAX_PLATFORMS=axon (tunneled TPU),
     # which would send every tiny test compile over the wire.
+    # NOTE the env var alone is NOT enough — the axon PJRT plugin stomps
+    # the env-derived config at registration (verified: with
+    # JAX_PLATFORMS=cpu in the env, jax.default_backend() was still
+    # 'tpu').  An explicit config.update after import wins as long as no
+    # backend has initialized yet.
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 # NO persistent compilation cache on CPU: XLA:CPU executables do not
