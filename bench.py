@@ -40,7 +40,9 @@ def main():
     from nksr_tpu.utils.profiling import drain
 
     xyz, nrm = synthetic_scene(n)
-    recon = Reconstructor()
+    from nksr_tpu.models.pipeline import PipelineConfig
+    # bf16 UNet convs (f32 accumulation) — MXU-native inference config
+    recon = Reconstructor(config=PipelineConfig(conv_dtype="bfloat16"))
 
     # structure='splat' keeps the full surface shell active — the
     # representative (worst-case) workload independent of training state

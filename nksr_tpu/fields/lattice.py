@@ -364,14 +364,33 @@ def _corner_scatter_back(acc: jnp.ndarray, spec: LatticeSpec, d: int,
 
 
 def _row_blocks(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
-                slot_cells: jnp.ndarray) -> jnp.ndarray:
+                slot_cells: jnp.ndarray, dtype=jnp.float32,
+                avs=None) -> jnp.ndarray:
     """Per-slot support vector AV (S, lanes): corner coefficient blocks of
-    the slot's cell at every depth.  ``slot_cells``: (depth, S) int32."""
+    the slot's cell at every depth.  ``slot_cells``: (depth, S) int32.
+
+    ``avs``: optional pre-materialized per-depth corner tables from
+    ``_corner_tables`` — REQUIRED for performance in loops: if the gather
+    reads a fused (unmaterialized) corner-cat operand, XLA recomputes the
+    8-slice concat per gathered row (~50 ns/row vs ~7 ns/row from a
+    materialized table — 4 such fusions measured 66 ms each per CG
+    iteration at bench scale)."""
+    if avs is None:
+        avs = _corner_tables(spec, xs, dtype)
     parts = []
     for d in range(spec.depth):
-        av = _corner_cat(xs[d], spec, d, spec.k)       # (cells, 8k)
-        parts.append(jnp.take(av, slot_cells[d], axis=0))
+        parts.append(jnp.take(avs[d], slot_cells[d], axis=0))
     return jnp.concatenate(parts, axis=-1)             # (S, depth*8k)
+
+
+def _corner_tables(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
+                   dtype) -> Tuple[jnp.ndarray, ...]:
+    """Materialized per-depth (cells_d, 8k) corner tables (see
+    _row_blocks): the optimization_barrier forces one real table per
+    depth that both row families' gathers then read."""
+    avs = tuple(_corner_cat(xs[d], spec, d, spec.k).astype(dtype)
+                for d in range(spec.depth))
+    return jax.lax.optimization_barrier(avs)
 
 
 def _row_blocks_adjoint(spec: LatticeSpec, y: jnp.ndarray,
@@ -387,11 +406,22 @@ def _row_blocks_adjoint(spec: LatticeSpec, y: jnp.ndarray,
 
 
 # ---------------------------------------------- fused depth-0 support (AV0)
+def _is_static_phase(phase_d) -> bool:
+    return isinstance(phase_d, (tuple, list)) or \
+        (isinstance(phase_d, np.ndarray) and not isinstance(
+            phase_d, jnp.ndarray))
+
+
 def _upsample_to_0(av: jnp.ndarray, spec: LatticeSpec, d: int,
-                   phase_d: jnp.ndarray) -> jnp.ndarray:
+                   phase_d) -> jnp.ndarray:
     """(cells_d, v) -> (cells_0, v): nearest (block) upsampling aligned to
-    the depth-0 frame.  ``phase_d``: (3,) int32 runtime offset
-    ``o0 - (o_d << d)`` (dynamic so chunk batches can share one compile).
+    the depth-0 frame.  ``phase_d``: (3,) offset ``o0 - (o_d << d)``.
+
+    STATIC phases (python ints / numpy) are strongly preferred: the whole
+    broadcast+slice chain then fuses into the AV0 concat consumer.  With
+    a runtime phase (vmapped chunk batches) XLA materializes the
+    upsampled block as a lane-padded temp — measured 4x-32x HBM padding
+    blowups that OOMed the bench-scale solve.
     """
     if d == 0:
         return av
@@ -403,13 +433,18 @@ def _upsample_to_0(av: jnp.ndarray, spec: LatticeSpec, d: int,
     a = jnp.broadcast_to(a[:, None, :, None, :, None, :],
                          (xd, f, yd, f, zd, f, v))
     a = a.reshape(xd * f, yd * f, zd * f, v)
-    a = jax.lax.dynamic_slice(
-        a, (phase_d[0], phase_d[1], phase_d[2], 0), (x0, y0, z0, v))
+    if _is_static_phase(phase_d):
+        px, py, pz = (int(phase_d[i]) for i in range(3))
+        a = jax.lax.slice(a, (px, py, pz, 0), (px + x0, py + y0,
+                                               pz + z0, v))
+    else:
+        a = jax.lax.dynamic_slice(
+            a, (phase_d[0], phase_d[1], phase_d[2], 0), (x0, y0, z0, v))
     return a.reshape(spec.n_cells(0), v)
 
 
 def _downsample_from_0(y: jnp.ndarray, spec: LatticeSpec, d: int,
-                       phase_d: jnp.ndarray) -> jnp.ndarray:
+                       phase_d) -> jnp.ndarray:
     """Adjoint of ``_upsample_to_0``: (cells_0, v) -> (cells_d, v)."""
     if d == 0:
         return y
@@ -417,10 +452,16 @@ def _downsample_from_0(y: jnp.ndarray, spec: LatticeSpec, d: int,
     xd, yd, zd = spec.dims[d]
     f = 1 << d
     v = y.shape[-1]
-    big = jnp.zeros((xd * f, yd * f, zd * f, v), y.dtype)
-    big = jax.lax.dynamic_update_slice(
-        big, y.reshape(x0, y0d, z0, v),
-        (phase_d[0], phase_d[1], phase_d[2], 0))
+    if _is_static_phase(phase_d):
+        px, py, pz = (int(phase_d[i]) for i in range(3))
+        big = jnp.pad(y.reshape(x0, y0d, z0, v),
+                      ((px, xd * f - px - x0), (py, yd * f - py - y0d),
+                       (pz, zd * f - pz - z0), (0, 0)))
+    else:
+        big = jnp.zeros((xd * f, yd * f, zd * f, v), y.dtype)
+        big = jax.lax.dynamic_update_slice(
+            big, y.reshape(x0, y0d, z0, v),
+            (phase_d[0], phase_d[1], phase_d[2], 0))
     return big.reshape(xd, f, yd, f, zd, f, v).sum(
         axis=(1, 3, 5)).reshape(spec.n_cells(d), v)
 
@@ -722,12 +763,21 @@ def lattice_solve(spec: LatticeSpec, interp,
         normal_weight / m_vox * voxel_size ** 2)              # (s_gr,)
 
     f32 = jnp.float32
+    # NOTE on the (absent) fused-AV0 formulation: building one
+    # (cells_0, 128) support table per matvec would cut the slot gathers
+    # 4x, but every XLA-level construction of it materializes narrow-lane
+    # intermediates — (n,4) corner pieces pad 32x, (X,Y,Z,32) upsamples
+    # pad 4x — and OOMs HBM at bench scale (measured 18.6G/15.75G, 20%
+    # utilization, even with static phases).  The per-depth form below
+    # keeps every materialized tensor either 1-D or 128-lane.  A Pallas
+    # builder with explicit VMEM layout is the planned replacement
+    # (ops/pallas).
 
     def apply_A(xs):
-        """rows = A x for both row families (one fused support gather)."""
-        av0 = _av0(spec, xs, phase, cdt)                      # (C0, L)
-        av_pt = _take_rows_sorted(av0, slot_cell0_pt, True)
-        av_gr = _take_rows_sorted(av0, slot_cell0_gr, gr_sorted)
+        """rows = A x for both row families."""
+        avs = _corner_tables(spec, xs, cdt)   # ONE materialized set
+        av_pt = _row_blocks(spec, xs, slot_cells_pt, cdt, avs=avs)
+        av_gr = _row_blocks(spec, xs, slot_cells_gr, cdt, avs=avs)
         t_pt = jnp.einsum('rsl,sl->rs', b_pt, av_pt,
                           preferred_element_type=f32)
         t_gr = jnp.einsum('rsl,sl->rs', b_gr, av_gr,
@@ -739,10 +789,10 @@ def lattice_solve(spec: LatticeSpec, interp,
                           preferred_element_type=f32)
         y_gr = jnp.einsum('rsl,rs->sl', b_gr, t_gr.astype(cdt),
                           preferred_element_type=f32)
-        y0 = jnp.zeros((spec.n_cells(0), spec.lanes), f32)
-        y0 = y0.at[slot_cell0_pt].add(y_pt, indices_are_sorted=True)
-        y0 = y0.at[slot_cell0_gr].add(y_gr, indices_are_sorted=gr_sorted)
-        return _av0_adjoint(spec, y0, phase)
+        y_pt, y_gr = jax.lax.optimization_barrier((y_pt, y_gr))
+        o1 = _row_blocks_adjoint(spec, y_pt, slot_cells_pt)
+        o2 = _row_blocks_adjoint(spec, y_gr, slot_cells_gr)
+        return jax.tree_util.tree_map(jnp.add, o1, o2)
 
     def matvec(xs):
         t_pt, t_gr = apply_A(xs)
@@ -754,16 +804,15 @@ def lattice_solve(spec: LatticeSpec, interp,
     rhs = apply_AT(jnp.zeros((spec.p_rows, spec.s_pt), f32),
                    w_gr[None, :] * jnp.swapaxes(gr_targets, 0, 1))
 
-    # Jacobi diagonal: sum_rows w * basis^2 per (cell, k) — one fused
-    # scatter pass over both families
-    bsq_pt = jnp.einsum('rsl,rs->sl', b_pt.astype(f32) ** 2, w_pt)
-    bsq_gr = jnp.einsum('rsl,rs->sl', b_gr.astype(f32) ** 2,
-                        w_gr[None].repeat(3, 0))
-    y0d = jnp.zeros((spec.n_cells(0), spec.lanes), f32)
-    y0d = y0d.at[slot_cell0_pt].add(bsq_pt, indices_are_sorted=True)
-    y0d = y0d.at[slot_cell0_gr].add(bsq_gr, indices_are_sorted=gr_sorted)
+    # Jacobi diagonal: sum_rows w * basis^2 per (cell, k)
+    d1 = _row_blocks_adjoint(
+        spec, jnp.einsum('rsl,rs->sl', b_pt.astype(f32) ** 2, w_pt),
+        slot_cells_pt)
+    d2 = _row_blocks_adjoint(
+        spec, jnp.einsum('rsl,rs->sl', b_gr.astype(f32) ** 2,
+                         w_gr[None].repeat(3, 0)), slot_cells_gr)
     diag = jax.tree_util.tree_map(
-        lambda a: a + reg_weight, _av0_adjoint(spec, y0d, phase))
+        lambda a, b: a + b + reg_weight, d1, d2)
     diag = jax.lax.optimization_barrier(diag)   # precond reads it per iter
 
     def precond(r):

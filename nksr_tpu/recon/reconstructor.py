@@ -65,7 +65,7 @@ def _compiled_structure(cfg: P.PipelineConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_lattice_solve(cfg: P.PipelineConfig, spec):
+def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key):
     """Dense-lattice kernel solve (fields/lattice.py) + mask attachment.
 
     The TPU-native solve engine: per-CG-iteration work is dense shifts +
@@ -77,9 +77,13 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec):
     from ..fields.support import InterpolatorFn
     from ..models.network import MLP, Interpolators
 
+    # STATIC phase (keyed into the jit cache): keeps the AV0 upsample
+    # chain fusable — see fields.lattice._upsample_to_0
+    phase = np.asarray(phase_key, np.int32)
+
     def fn(params, xyz_sorted, mask_sorted, pt_cell0, pt_dest,
            slot_cells_pt, slot_cells_gr, slot_cell0_pt, slot_cell0_gr,
-           phase, gr_coords, gr_depth, gr_active,
+           gr_coords, gr_depth, gr_active,
            vox_cell, vox_active, xyz_p, mask, input_normal,
            dec_svh, udf_svh, basis_feats, normal_feats, udf_feats,
            prior_splat_idx):
@@ -366,14 +370,14 @@ class Reconstructor:
             dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
             dest[:n] = plan.pt_dest
             tm.lap("lattice plan")
-            field = _compiled_lattice_solve(cfg, spec)(
+            phase_key = tuple(map(tuple, plan.phase.tolist()))
+            field = _compiled_lattice_solve(cfg, spec, phase_key)(
                 self.network.params, jnp.asarray(xs), jnp.asarray(ms),
                 jnp.asarray(c0), jnp.asarray(dest),
                 jnp.asarray(plan.slot_cell_pt),
                 jnp.asarray(plan.slot_cell_gr),
                 jnp.asarray(plan.slot_cell0_pt),
                 jnp.asarray(plan.slot_cell0_gr),
-                jnp.asarray(plan.phase),
                 jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
                 jnp.asarray(plan.gr_active),
                 tuple(jnp.asarray(v) for v in plan.vox_cell),
