@@ -36,14 +36,16 @@ def main():
         f = recon.reconstruct(xyz, nrm, **kw)
         drain(f.alpha)
         log(f"iters={iters}: first (compile) {time.time()-t0:.1f}s")
-        reps = 2
-        t0 = time.perf_counter()
+        reps = 3
+        times = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             f = recon.reconstruct(xyz, nrm, **kw)
             drain(f.alpha)
-        dt = (time.perf_counter() - t0) / reps
-        results[iters] = dt
-        log(f"iters={iters}: steady {dt:.2f}s")
+            times.append(time.perf_counter() - t0)
+        results[iters] = min(times)   # min: tunnel noise is additive
+        log(f"iters={iters}: steady min {min(times):.2f}s "
+            f"(reps: {' '.join(f'{t:.2f}' for t in times)})")
     per_iter = (results[32] - results[2]) / 30.0
     log(f"per-CG-iteration: {per_iter*1e3:.0f} ms; "
         f"fixed (host+net+assembly+2 iters): {results[2]:.2f}s")
