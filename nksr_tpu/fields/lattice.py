@@ -21,12 +21,29 @@ Why this exists (measured on the real TPU v5e in this sandbox):
         slots: per slot a (rows, 128) basis block B covering all depths
         (4 depths x 8 corners x K), so the per-row work is two batched
         einsums over contiguous memory;
-      - the only per-iteration random accesses are ONE row-gather and ONE
-        row-scatter of 32-wide rows per depth at slot granularity.
+      - the only per-iteration random accesses are ONE sorted 128-lane
+        row gather and ONE sorted 128-lane row scatter-add per slot
+        family, against a fused depth-0-resolution support buffer (AV0)
+        built/consumed by static zero-phase upsample/downsample cascades
+        (_up2/_down2);
+      - the corner expansion (flat coefficients -> per-cell 8-corner
+        lanes) and its adjoint are ONE-HOT PERMUTATION MATMULS over
+        128-lane packed buffers (_place_level/_strip_level_adj): the
+        lane shuffle runs on the MXU instead of as layout copies, and no
+        in-loop tensor is narrower than its tile.
 
-    Measured prototype: ~170 ms/iter at 1M-point bench scale vs ~1.2 s for
-    the sparse path (7x), with a clear path to ~50 ms (bf16 row blocks,
-    z-grouped lane selects).
+    Measured on the chip (2026-08-17): 128-lane row gathers cost 17 ns/row
+    and 128-lane sorted scatter-adds 23 ns/row, vs 35/134 ns/row for the
+    32-lane per-depth forms — which is why the matvec is fused at depth-0
+    resolution rather than per depth.  Layout rules the code is shaped
+    around: (N, v) values for v << 128 tile-pad HBM up to 32x, and inside
+    the CG while-loop XLA's remat/compression pass MATERIALIZES such
+    values even when they would fuse in isolation (measured compile-time
+    OOMs 38.5G and 22G against 15.75G from exactly that).  Hence the
+    packed-buffer + permutation-matmul formulation: CG state is flat
+    coefficient bytes viewed as (len/128, 128), and every in-loop op is
+    a row-slice, row-merge reshape, 128-lane stream, MXU contraction, or
+    sorted gather/scatter.
 
 The lattice is exact integer geometry: a point's support cell at depth d
 is ``floor(x / vs_d)`` and deeper cells are nested prefixes
@@ -105,7 +122,9 @@ class LatticePlan(NamedTuple):
     gr_depth: np.ndarray      # (s_gr,) own depth of each voxel
     gr_active: np.ndarray     # (s_gr,) bool
     slot_cell_gr: np.ndarray  # (depth, s_gr) flat dense cell per depth
-    slot_cell0_gr: np.ndarray  # (s_gr,) flat depth-0 cell per grad slot
+    slot_cell0_gr: np.ndarray  # (s_gr,) flat depth-0 cell per grad slot, sorted
+    gr_perm: np.ndarray       # (s_gr,) hierarchy-order index of each slot
+    #                           (device realigns gradient targets with it)
     # per-depth voxel -> dense cell maps (cap-padded, pad -> 0):
     vox_cell: Tuple[np.ndarray, ...]   # (cap_d,) flat dense cell ids
     vox_active: Tuple[np.ndarray, ...]
@@ -171,20 +190,28 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
             cand_hi.append(c.max(0).astype(np.int64) * (1 << dd))
     lo_t[0] = np.minimum.reduce(cand_lo) - 2
     hi_t[0] = np.maximum.reduce(cand_hi) + 2
+    # ZERO-PHASE nesting: pick o0 so that o_d = o0 >> d simultaneously
+    # (a) stays <= every level's lo_t (margin preserved) and (b) is exactly
+    # divisible down the chain (o0 multiple of 2^(depth-1)).  Every
+    # upsample/downsample step then has step-phase 0 — the fused AV0
+    # cascade (_up2/_down2) becomes a static, vmappable program shared by
+    # all chunks of a sharded batch.
+    algn = 1 << (depth - 1)
+    # o0 >> d <= lo_t[d]  <=>  o0 <= (lo_t[d] << d) + 2^d - 1 — the +2^d-1
+    # matters: without it a coarse level's -2 margin would be amplified
+    # 2^d-fold into the depth-0 extent
+    o0_cand = np.minimum.reduce(
+        [(lo_t[d] << d) + (1 << d) - 1 for d in range(depth)])
+    o0 = o0_cand & ~np.int64(algn - 1)
     origins, dims, phase, total = [], [], [], 0
     for d in range(depth):
+        o = o0 >> d
         if d == 0:
-            o = lo_t[0]
             ext = hi_t[0] - o + 1
         else:
-            # align with the depth-0 frame for the fused AV0 buffer:
-            # o_d <= o0 >> d guarantees phase = o0 - (o_d << d) >= 0, and
-            # the coarse lattice must cover BOTH its own active extent and
-            # the upsampled window [o0, o0 + ext0).
-            o = np.minimum(lo_t[d], origins[0] >> d)
-            ph = origins[0] - o * (1 << d)
-            ext0 = np.asarray(dims[0], np.int64)
-            need_up = (ph + ext0 + (1 << d) - 1) >> d
+            # cover both this level's active extent and the upsample
+            # window of the finer level (step phase 0: ceil(ext_f / 2))
+            need_up = (np.asarray(dims[d - 1], np.int64) + 1) >> 1
             ext = np.maximum(hi_t[d] - o + 1, need_up)
         # round dims up to multiples of 8: the LatticeSpec keys the jit
         # cache, so bucketed dims let same-size scenes (bench reps, chunk
@@ -291,12 +318,19 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
             c0_gr[m] = gr_coords[m] * (1 << dd)
         slot_cell0_gr = flat_cell(c0_gr, 0)
         slot_cell0_gr[~gr_active] = 0
-        if adaptive_depth == 1:
-            # single depth block: actives are key-sorted; lift the zero
-            # pads so the sorted-gather hint holds (their rows are zero)
-            slot_cell0_gr = np.maximum.accumulate(slot_cell0_gr)
+        # sort grad slots globally by depth-0 cell so BOTH the fused
+        # gather and the scatter-add get the sorted-indices hint
+        # (measured 23 vs 134 ns/row for the scatter).  ``gr_perm``
+        # realigns the hierarchy-ordered gradient targets on device.
+        gr_perm = np.argsort(slot_cell0_gr, kind="stable").astype(np.int32)
+        slot_cell0_gr = slot_cell0_gr[gr_perm]
+        gr_coords = gr_coords[gr_perm]
+        gr_depth = gr_depth[gr_perm]
+        gr_active = gr_active[gr_perm]
+        slot_cell_gr = slot_cell_gr[:, gr_perm]
     else:
         slot_cell0_gr = np.zeros(0, np.int32)
+        gr_perm = np.zeros(0, np.int32)
 
     # ---- per-depth voxel -> dense cell (coefficient init/extract) -------
     vox_cell, vox_active = [], []
@@ -325,6 +359,7 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         gr_coords=gr_coords.astype(np.int32), gr_depth=gr_depth,
         gr_active=gr_active, slot_cell_gr=slot_cell_gr,
         slot_cell0_gr=slot_cell0_gr.astype(np.int32),
+        gr_perm=gr_perm,
         vox_cell=tuple(vox_cell), vox_active=tuple(vox_active))
 
 
@@ -334,6 +369,13 @@ def _corner_cat(flat: jnp.ndarray, spec: LatticeSpec, d: int,
     """(n_cells*v,) flat dense channel buffer -> (n_cells, 8v) per-cell
     corner concat via 8 STATIC shifted slices (corner offsets are constant
     flat strides on a dense lattice — the gather-free support evaluation).
+
+    Layout note: the flat slices reshape to (n, v) per corner; XLA keeps
+    those in compact {0,1:T(4,128)}-style layouts and pays one relayout
+    copy per corner at the concat (measured ~4 ms per 85 MB at bench
+    scale).  Do NOT restructure this as one (n+pad, v) reshape + row
+    slices: XLA then materializes (n, v) in lane-PADDED T(8,128) layouts
+    (32x memory — 5 GB per corner at bench scale, instant OOM).
     """
     n = spec.n_cells(d)
     strides = spec.corner_strides(d)
@@ -348,9 +390,12 @@ def _corner_scatter_back(acc: jnp.ndarray, spec: LatticeSpec, d: int,
                          v: int) -> jnp.ndarray:
     """Adjoint of ``_corner_cat``: (n_cells, 8v) -> flat (n_cells*v,).
 
-    Written as a SUM of 8 statically shifted blocks (not sequential
-    read-modify-write passes over the flat buffer) so XLA fuses it into
-    one streaming pass: out[m] = sum_i acc[m - s_i, block_i]."""
+    Written as a SUM of 8 statically shifted FLAT blocks: out[m*v + j] =
+    sum_i acc[m - s_i, i*v + j].  Each block pays one (n, v) -> flat
+    relayout copy, but every materialized tensor is 1-D.  Do NOT rewrite
+    this as row-shifted (n, v) lane-slice adds: the (n, v) slices
+    materialize in lane-PADDED T(8,128) layouts (32x HBM for v=4 — eight
+    4.1 GB temps at bench scale, measured OOM 38.5G/15.75G)."""
     n = spec.n_cells(d)
     strides = spec.corner_strides(d)
     out = 0.0
@@ -361,6 +406,198 @@ def _corner_scatter_back(acc: jnp.ndarray, spec: LatticeSpec, d: int,
                 [jnp.zeros((s * v,), acc.dtype), part[:(n - s) * v]])
         out = out + part
     return out
+
+
+# ------------------- packed 128-lane corner expansion (one-hot MXU perms)
+#
+# The corner expansion flat (n*v,) -> (n, 8v) is a pure data relayout.
+# Expressed as XLA slices+concat it creates (n, v)-shaped values whose
+# T(8,128) layouts lane-pad 32x for v=4; inside the CG while-loop XLA's
+# remat/compression pass materializes those operands (measured: eight
+# 2.06 GB temps, compile-time OOM 22G/15.75G).  Here the relayout is a
+# ONE-HOT PERMUTATION MATMUL instead: every tensor is either flat-packed
+# (rows of 128 flats) or cell-rows of 128 lanes, and the lane shuffle
+# runs on the MXU (~3 ms at bench scale vs ~50 ms of relayout copies).
+# The matrices are 0/1 with a single 1 per row/column, so the "matmul"
+# is exact element selection in any dtype.
+
+@functools.lru_cache(maxsize=None)
+def _corner_perm_M(v: int) -> np.ndarray:
+    """(1024, 1024) one-hot: G lane (i, m) -> packed corner-table P lane.
+
+    G row t concatenates the 8 corner-shifted flat windows (128 flats
+    each); P row (8t + r) holds cells [C_o*(8t+r) ...) as 8v-lane groups,
+    C_o = 16 // v cells per 128-lane row.
+    """
+    m = np.zeros((8, 128, 8, 128), np.float32)
+    for i in range(8):
+        for r in range(8):
+            for c in range(16 // v):
+                for j in range(v):
+                    m[i, 16 * r + v * c + j, r, 8 * v * c + v * i + j] = 1.0
+    return m.reshape(1024, 1024)
+
+
+@functools.lru_cache(maxsize=None)
+def _place_perm_U(v: int, d_block: int, lanes: int) -> np.ndarray:
+    """(128, C_o*lanes) one-hot: packed corner-table row -> C_o cell-rows
+    of width ``lanes`` with the 8v corner lanes placed at block offset
+    ``8*v*d_block`` (lanes = depth*8v, 128 at the default depth 4, k 4)."""
+    c_o = 16 // v
+    u = np.zeros((128, c_o, lanes), np.float32)
+    for c in range(c_o):
+        for w in range(8 * v):
+            u[8 * v * c + w, c, 8 * v * d_block + w] = 1.0
+    return u.reshape(128, c_o * lanes)
+
+
+def _g_windows(a: jnp.ndarray, strides, v: int, t_rows: int) -> jnp.ndarray:
+    """(R, 128) zero-padded packed flat buffer -> (T, 1024) concat of the
+    8 corner-shifted windows.  A shift of ``s`` cells is ``s*v`` flats =
+    a static row offset plus a static lane roll (two row-slices, one
+    lane-concat, one lane-slice) — every value 128-lane or wider."""
+    gs = []
+    for s in strides:
+        q, l = divmod(s * v, 128)
+        if l == 0:
+            g = jax.lax.slice(a, (q, 0), (q + t_rows, 128))
+        else:
+            two = jnp.concatenate(
+                [jax.lax.slice(a, (q, 0), (q + t_rows, 128)),
+                 jax.lax.slice(a, (q + 1, 0), (q + t_rows + 1, 128))],
+                axis=1)
+            g = jax.lax.slice(two, (0, l), (t_rows, l + 128))
+        gs.append(g)
+    return jnp.concatenate(gs, axis=1)
+
+
+def _place_level(spec: LatticeSpec, xp: jnp.ndarray, d: int,
+                 dtype) -> jnp.ndarray:
+    """Packed flat coefficients (n_d*v/128, 128) -> cell-rows
+    (n_d, lanes) with the level's 8v corner lanes at block offset 8*v*d
+    (other lanes zero).  Two one-hot matmuls; both reshapes are free row
+    merges."""
+    v = spec.k
+    n = spec.n_cells(d)
+    t_rows = n * v // 128
+    strides = spec.corner_strides(d)
+    extra = (strides[-1] * v) // 128 + 2
+    a = jnp.concatenate(
+        [xp.astype(dtype), jnp.zeros((extra, 128), dtype)], axis=0)
+    g = _g_windows(a, strides, v, t_rows)
+    mm = jnp.asarray(_corner_perm_M(v), dtype)
+    uu = jnp.asarray(_place_perm_U(v, d, spec.lanes), dtype)
+    p = (g @ mm).reshape(8 * t_rows, 128)
+    return (p @ uu).reshape(n, spec.lanes)
+
+
+def _strip_level_adj(spec: LatticeSpec, z: jnp.ndarray,
+                     d: int) -> jnp.ndarray:
+    """Adjoint of ``_place_level`` (f32): cell-rows (n_d, 128) -> packed
+    flat (n_d*v/128, 128)."""
+    v = spec.k
+    n = spec.n_cells(d)
+    c_o = 16 // v
+    t_rows = n * v // 128
+    strides = spec.corner_strides(d)
+    extra = (strides[-1] * v) // 128 + 2
+    f32 = jnp.float32
+    uu_t = jnp.asarray(_place_perm_U(v, d, spec.lanes).T, f32)
+    mm_t = jnp.asarray(_corner_perm_M(v).T, f32)
+    pp = (z.reshape(n // c_o, c_o * spec.lanes) @ uu_t)
+    h = pp.reshape(t_rows, 1024) @ mm_t
+    out = jnp.zeros((t_rows + extra, 128), f32)
+    for idx, s in enumerate(strides):
+        hi = jax.lax.slice(h, (0, idx * 128), (t_rows, (idx + 1) * 128))
+        q, l = divmod(s * v, 128)
+        if l == 0:
+            out = out.at[q:q + t_rows].add(hi)
+        else:
+            w = jnp.pad(hi, ((0, 0), (l, 128 - l)))
+            out = out.at[q:q + t_rows].add(w[:, :128])
+            out = out.at[q + 1:q + t_rows + 1].add(w[:, 128:])
+    return jax.lax.slice(out, (0, 0), (t_rows, 128))
+
+
+# ----------------------------- zero-phase up/down cascade (fused AV0 v2)
+def _up2(a: jnp.ndarray, dims_c, dims_f) -> jnp.ndarray:
+    """(cells_c, L) -> (cells_f, L): one 2x nearest upsample step between
+    nested lattices (step phase 0: fine cell l has parent l >> 1).
+
+    Every intermediate keeps the lane dim L minor and >= 32-lane-wide;
+    the only relayout is the z-duplication lane-concat reshape.
+    """
+    xc, yc, zc = dims_c
+    xf, yf, zf = dims_f
+    L = a.shape[-1]
+    a = a.reshape(xc, yc, zc, L)
+    a = jnp.broadcast_to(a[:, None], (xc, 2, yc, zc, L))
+    a = a.reshape(2 * xc, yc, zc, L)[:xf]
+    a = jnp.broadcast_to(a[:, :, None], (xf, yc, 2, zc, L))
+    a = a.reshape(xf, 2 * yc, zc, L)[:, :yf]
+    # z-dup via lane concat: row (..., z) = [A_z | A_z] reshaped so rows
+    # 2z and 2z+1 both read A_z (row-major order preserved)
+    a = jnp.concatenate([a, a], axis=-1).reshape(xf, yf, 2 * zc, L)
+    a = a[:, :, :zf]
+    return a.reshape(xf * yf * zf, L)
+
+
+def _down2(a: jnp.ndarray, dims_f, dims_c) -> jnp.ndarray:
+    """Adjoint of ``_up2``: (cells_f, L) -> (cells_c, L), summing the up
+    to 8 children of each coarse cell (step phase 0).
+
+    Pair sums are written as row-major reshape-splits + axis sums, NOT
+    ``a[..., 0::2] + a[..., 1::2]``: XLA lowers stride-2 slices of big
+    4-D tensors to gathers with multi-GB padded temps (measured OOM
+    18.3G/15.75G at bench scale).  Each axis is padded just before its
+    own reduction so the largest temp is the z-padded input, once."""
+    xf, yf, zf = dims_f
+    xc, yc, zc = dims_c
+    L = a.shape[-1]
+    a = a.reshape(xf, yf, zf, L)
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, 2 * zc - zf), (0, 0)))
+    a = a.reshape(xf, yf, zc, 2, L).sum(axis=3)
+    a = jnp.pad(a, ((0, 0), (0, 2 * yc - yf), (0, 0), (0, 0)))
+    a = a.reshape(xf, yc, 2, zc, L).sum(axis=2)
+    a = jnp.pad(a, ((0, 2 * xc - xf), (0, 0), (0, 0), (0, 0)))
+    a = a.reshape(xc, 2, yc, zc, L).sum(axis=1)
+    return a.reshape(xc * yc * zc, L)
+
+
+def _av0_cascade(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
+                 dtype) -> jnp.ndarray:
+    """Fused support buffer at depth-0 resolution, built coarse-to-fine:
+    (cells_0, depth*8k) with lane block d = the 8-corner coefficients of
+    the cell's depth-d ancestor.  Zero-phase nesting (plan_lattice) makes
+    every step a static stride-2 program — no per-chunk phase data.
+
+    ``xs``: per-depth PACKED flat coefficients (n_d*k/128, 128).  Each
+    level lands via ``_place_level`` (one-hot matmuls, lanes beyond the
+    level's block zero), so the assembly is adds — no lane concats of
+    narrow pieces anywhere.
+    """
+    depth = spec.depth
+    acc = _place_level(spec, xs[depth - 1], depth - 1, dtype)
+    for d in range(depth - 2, -1, -1):
+        acc = _up2(acc, spec.dims[d + 1], spec.dims[d]) \
+            + _place_level(spec, xs[d], d, dtype)
+    return acc                                  # lanes [d0 | d1 | ... ]
+
+
+def _av0_adjoint_cascade(spec: LatticeSpec,
+                         z0: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Adjoint of ``_av0_cascade`` (f32): (cells_0, depth*8k) -> per-depth
+    PACKED flat coefficient buffers (n_d*k/128, 128).  Strips each
+    level's lane block via the transposed one-hot matmuls and downsamples
+    one step."""
+    depth = spec.depth
+    acc = z0.astype(jnp.float32)
+    outs = []
+    for d in range(depth):
+        outs.append(_strip_level_adj(spec, acc, d))
+        if d + 1 < depth:
+            acc = _down2(acc, spec.dims[d], spec.dims[d + 1])
+    return tuple(outs)
 
 
 def _row_blocks(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
@@ -709,7 +946,8 @@ def lattice_solve(spec: LatticeSpec, interp,
                   reg_weight: float, tol: float, max_iters: int,
                   approx_grad: bool, *,
                   slot_cell0_pt: jnp.ndarray, slot_cell0_gr: jnp.ndarray,
-                  phase: jnp.ndarray,
+                  gr_perm: Optional[jnp.ndarray] = None,
+                  phase=None,  # ignored: plans are zero-phase (nested)
                   compute_dtype: str = "float32") -> Tuple[jnp.ndarray, ...]:
     """Fit flat per-depth coefficients (cap_d * K,) — same output
     convention as KernelField.solve_non_fused, same math, dense engine.
@@ -728,10 +966,12 @@ def lattice_solve(spec: LatticeSpec, interp,
 
     depth, k = spec.depth, spec.k
     cdt = jnp.dtype(compute_dtype)
-    # sortedness of the fused slot cells (see plan_lattice): pt slots
-    # enumerate sorted point keys; gr slots are key-sorted only when they
-    # come from a single hierarchy depth
-    gr_sorted = spec.adaptive_depth == 1
+    # both slot families are sorted by depth-0 cell: pt slots enumerate
+    # sorted point keys; gr slots are sorted at plan time (gr_perm
+    # realigns the hierarchy-ordered gradient targets)
+    gr_sorted = True
+    if gr_perm is not None:
+        gr_targets = jnp.take(gr_targets, gr_perm, axis=0)
 
     # dense per-cell corner features + corner activity (one-time)
     features_dense_fc, act_fc = [], []
@@ -763,21 +1003,21 @@ def lattice_solve(spec: LatticeSpec, interp,
         normal_weight / m_vox * voxel_size ** 2)              # (s_gr,)
 
     f32 = jnp.float32
-    # NOTE on the (absent) fused-AV0 formulation: building one
-    # (cells_0, 128) support table per matvec would cut the slot gathers
-    # 4x, but every XLA-level construction of it materializes narrow-lane
-    # intermediates — (n,4) corner pieces pad 32x, (X,Y,Z,32) upsamples
-    # pad 4x — and OOMs HBM at bench scale (measured 18.6G/15.75G, 20%
-    # utilization, even with static phases).  The per-depth form below
-    # keeps every materialized tensor either 1-D or 128-lane.  A Pallas
-    # builder with explicit VMEM layout is the planned replacement
-    # (ops/pallas).
+    # Fused-AV0 matvec: per iteration, ONE (cells_0, depth*8k) support
+    # buffer built by the zero-phase upsample cascade (one-hot MXU
+    # permutation matmuls + dense streaming — no tensor narrower than its
+    # packing), ONE 128-lane row gather per family (measured 17 ns/row vs
+    # 35 ns/row for 32-lane), einsums on the MXU, ONE sorted 128-lane row
+    # scatter-add per family into depth-0 resolution (23 ns/row vs 134
+    # ns/row at 32 lanes), then the adjoint cascade back to packed
+    # per-depth coefficients.
+    n_c0 = spec.n_cells(0)
 
     def apply_A(xs):
         """rows = A x for both row families."""
-        avs = _corner_tables(spec, xs, cdt)   # ONE materialized set
-        av_pt = _row_blocks(spec, xs, slot_cells_pt, cdt, avs=avs)
-        av_gr = _row_blocks(spec, xs, slot_cells_gr, cdt, avs=avs)
+        av0 = jax.lax.optimization_barrier(_av0_cascade(spec, xs, cdt))
+        av_pt = _take_rows_sorted(av0, slot_cell0_pt, True)
+        av_gr = _take_rows_sorted(av0, slot_cell0_gr, gr_sorted)
         t_pt = jnp.einsum('rsl,sl->rs', b_pt, av_pt,
                           preferred_element_type=f32)
         t_gr = jnp.einsum('rsl,sl->rs', b_gr, av_gr,
@@ -789,10 +1029,12 @@ def lattice_solve(spec: LatticeSpec, interp,
                           preferred_element_type=f32)
         y_gr = jnp.einsum('rsl,rs->sl', b_gr, t_gr.astype(cdt),
                           preferred_element_type=f32)
-        y_pt, y_gr = jax.lax.optimization_barrier((y_pt, y_gr))
-        o1 = _row_blocks_adjoint(spec, y_pt, slot_cells_pt)
-        o2 = _row_blocks_adjoint(spec, y_gr, slot_cells_gr)
-        return jax.tree_util.tree_map(jnp.add, o1, o2)
+        z0 = jnp.zeros((n_c0, spec.lanes), f32)
+        z0 = z0.at[slot_cell0_pt].add(y_pt, indices_are_sorted=True,
+                                      mode="drop")
+        z0 = z0.at[slot_cell0_gr].add(y_gr, indices_are_sorted=gr_sorted,
+                                      mode="drop")
+        return _av0_adjoint_cascade(spec, z0)
 
     def matvec(xs):
         t_pt, t_gr = apply_A(xs)
@@ -804,21 +1046,28 @@ def lattice_solve(spec: LatticeSpec, interp,
     rhs = apply_AT(jnp.zeros((spec.p_rows, spec.s_pt), f32),
                    w_gr[None, :] * jnp.swapaxes(gr_targets, 0, 1))
 
-    # Jacobi diagonal: sum_rows w * basis^2 per (cell, k)
-    d1 = _row_blocks_adjoint(
-        spec, jnp.einsum('rsl,rs->sl', b_pt.astype(f32) ** 2, w_pt),
-        slot_cells_pt)
-    d2 = _row_blocks_adjoint(
-        spec, jnp.einsum('rsl,rs->sl', b_gr.astype(f32) ** 2,
-                         w_gr[None].repeat(3, 0)), slot_cells_gr)
+    # Jacobi diagonal: sum_rows w * basis^2 per (cell, k) — the adjoint
+    # cascade applied to the squared-basis row sums
+    dz = jnp.zeros((n_c0, spec.lanes), f32)
+    dz = dz.at[slot_cell0_pt].add(
+        jnp.einsum('rsl,rs->sl', b_pt.astype(f32) ** 2, w_pt),
+        indices_are_sorted=True, mode="drop")
+    dz = dz.at[slot_cell0_gr].add(
+        jnp.einsum('rsl,rs->sl', b_gr.astype(f32) ** 2,
+                   w_gr[None].repeat(3, 0)),
+        indices_are_sorted=gr_sorted, mode="drop")
     diag = jax.tree_util.tree_map(
-        lambda a, b: a + b + reg_weight, d1, d2)
+        lambda a: a + reg_weight, _av0_adjoint_cascade(spec, dz))
     diag = jax.lax.optimization_barrier(diag)   # precond reads it per iter
 
     def precond(r):
         return jax.tree_util.tree_map(lambda ri, di: ri / di, r, diag)
 
-    xs0 = tuple(jnp.zeros((spec.n_cells(d) * k,)) for d in range(depth))
+    # CG leaves are PACKED flat buffers (n_d*k/128, 128): byte-identical
+    # to flat (n_d*k,) in row-major order, but a native 128-lane tile —
+    # every in-loop op (cascade matmuls, axpys, precond) is lane-exact
+    xs0 = tuple(jnp.zeros((spec.n_cells(d) * k // 128, 128))
+                for d in range(depth))
     rhs = jax.tree_util.tree_map(lambda r, x: r + 0.0 * x, rhs, xs0)
     xs = solve_spd(matvec, rhs, precond=precond, tol=tol,
                    max_iters=max_iters)

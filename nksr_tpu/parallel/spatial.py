@@ -203,6 +203,7 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
                 slot_cell_gr=plan.slot_cell_gr,
                 slot_cell0_pt=plan.slot_cell0_pt,
                 slot_cell0_gr=plan.slot_cell0_gr,
+                gr_perm=plan.gr_perm,
                 phase=plan.phase, gr_coords=plan.gr_coords,
                 gr_depth=plan.gr_depth, gr_active=plan.gr_active,
                 vox_cell=tuple(plan.vox_cell),
@@ -267,6 +268,7 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
                 approx_grad=cfg.approx_kernel_grad,
                 slot_cell0_pt=lat["slot_cell0_pt"],
                 slot_cell0_gr=lat["slot_cell0_gr"],
+                gr_perm=lat["gr_perm"],
                 phase=lat["phase"],
                 compute_dtype=cfg.solver_compute_dtype)
             field = KernelField(

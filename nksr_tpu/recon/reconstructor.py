@@ -83,7 +83,7 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key):
 
     def fn(params, xyz_sorted, mask_sorted, pt_cell0, pt_dest,
            slot_cells_pt, slot_cells_gr, slot_cell0_pt, slot_cell0_gr,
-           gr_coords, gr_depth, gr_active,
+           gr_perm, gr_coords, gr_depth, gr_active,
            vox_cell, vox_active, xyz_p, mask, input_normal,
            dec_svh, udf_svh, basis_feats, normal_feats, udf_feats,
            prior_splat_idx):
@@ -116,6 +116,7 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key):
             max_iters=cfg.solver_max_iters,
             approx_grad=cfg.approx_kernel_grad,
             slot_cell0_pt=slot_cell0_pt, slot_cell0_gr=slot_cell0_gr,
+            gr_perm=gr_perm,
             phase=phase, compute_dtype=cfg.solver_compute_dtype)
         field = KernelField(
             svh=dec_svh, features=basis_feats, interp=interp,
@@ -378,6 +379,7 @@ class Reconstructor:
                 jnp.asarray(plan.slot_cell_gr),
                 jnp.asarray(plan.slot_cell0_pt),
                 jnp.asarray(plan.slot_cell0_gr),
+                jnp.asarray(plan.gr_perm),
                 jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
                 jnp.asarray(plan.gr_active),
                 tuple(jnp.asarray(v) for v in plan.vox_cell),

@@ -58,6 +58,55 @@ class TestPrimitives:
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
                                    rtol=1e-4)
 
+    def _spec8(self):
+        """Dims multiples of 8 (as plan_lattice guarantees): the packed
+        128-lane cascade requires n_cells*k % 128 == 0."""
+        return LAT.LatticeSpec(
+            dims=((16, 16, 8), (8, 8, 8), (8, 8, 8)),
+            k=4, depth=3, adaptive_depth=2,
+            s_pt=64, p_rows=4, s_gr=32, n_pts_cap=256)
+
+    def test_place_level_matches_corner_cat(self):
+        """The one-hot-matmul corner expansion == the slice/concat
+        reference, per level (exact: the matmuls are pure selection)."""
+        spec = self._spec8()
+        rng = np.random.default_rng(11)
+        w = 8 * spec.k
+        for d in range(spec.depth):
+            n = spec.n_cells(d)
+            x = jnp.asarray(
+                rng.normal(size=(n * spec.k,)).astype(np.float32))
+            ref = LAT._corner_cat(x, spec, d, spec.k)       # (n, 8k)
+            got = LAT._place_level(spec, x.reshape(-1, 128), d,
+                                   jnp.float32)             # (n, 128)
+            np.testing.assert_array_equal(
+                np.asarray(got[:, d * w:(d + 1) * w]), np.asarray(ref))
+            other = np.asarray(got).copy()
+            other[:, d * w:(d + 1) * w] = 0
+            assert not other.any()
+
+    def test_av0_cascade_matches_and_adjoint(self):
+        """Packed zero-phase cascade == _av0(phase=0); <cascade(x), y> ==
+        <x, cascade_adjoint(y)> (the fused matvec pair)."""
+        spec = self._spec8()
+        rng = np.random.default_rng(7)
+        xs_flat = tuple(jnp.asarray(
+            rng.normal(size=(spec.n_cells(d) * spec.k,)).astype(np.float32))
+            for d in range(spec.depth))
+        xs = tuple(x.reshape(-1, 128) for x in xs_flat)
+        av_ref = LAT._av0(spec, xs_flat,
+                          np.zeros((spec.depth, 3), np.int32), jnp.float32)
+        av_new = LAT._av0_cascade(spec, xs, jnp.float32)
+        np.testing.assert_allclose(np.asarray(av_new), np.asarray(av_ref),
+                                   rtol=1e-6)
+        y0 = jnp.asarray(rng.normal(
+            size=(spec.n_cells(0), spec.lanes)).astype(np.float32))
+        lhs = jnp.vdot(av_new, y0)
+        back = LAT._av0_adjoint_cascade(spec, y0)
+        rhs = sum(jnp.vdot(a, b) for a, b in zip(xs, back))
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-4)
+
     def test_av0_adjoint(self):
         """<_av0(x), y> == <x, _av0_adjoint(y)> (the fused matvec pair)."""
         spec = self._spec()
