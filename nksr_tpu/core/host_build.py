@@ -222,8 +222,8 @@ def nbr_table(grid: HostGrid, cap: int, stencil: np.ndarray) -> np.ndarray:
     n = min(len(grid.keys), cap)
     t = np.full((cap, stencil.shape[0]), -1, np.int32)
     if n:
-        idx = _stencil_tables(grid.keys, stencil.astype(np.int64))[:n]
-        t[:n] = np.where(idx < cap, idx, -1)
+        t[:n] = _stencil_tables(grid.keys, stencil.astype(np.int64),
+                                base_keys=grid.keys[:n], cap=cap)
     return t
 
 
@@ -245,19 +245,20 @@ def _offset_delta(off: np.ndarray) -> int:
 
 
 def _stencil_tables(keys: np.ndarray, offsets: np.ndarray,
-                    base_keys: Optional[np.ndarray] = None) -> np.ndarray:
-    """(len(base), K) indices of base+offset in the sorted key set.
+                    base_keys: Optional[np.ndarray] = None,
+                    cap: Optional[int] = None) -> np.ndarray:
+    """(len(base), K) indices of base+offset in the sorted key set
+    (-1 absent; with ``cap``, indices >= cap also fold to -1).
 
-    For each offset the shifted query keys stay sorted (linear packing),
-    so every column is an O(n) native merge join instead of n binary
-    searches.
+    The shifted query keys stay sorted per offset (linear packing), so
+    the table is K monotone merge-join cursors written row-major in ONE
+    native pass (``stencil_join``) — no per-offset temp arrays, no
+    separate mask pass.
     """
-    from ..native import sorted_join
+    from ..native import stencil_join
     base = keys if base_keys is None else base_keys
-    out = np.empty((len(base), len(offsets)), np.int32)
-    for k, off in enumerate(offsets):
-        out[:, k] = sorted_join(keys, base + _offset_delta(off))
-    return out
+    deltas = np.array([_offset_delta(o) for o in offsets], np.int64)
+    return stencil_join(keys, base, deltas, cap=cap)
 
 
 def build_unet_tables(grids: Sequence[HostGrid],
@@ -269,8 +270,8 @@ def build_unet_tables(grids: Sequence[HostGrid],
         cap = capacities[d]
         n = min(len(g.keys), cap)
         t = np.full((cap, stencil.shape[0]), -1, np.int32)
-        idx = _stencil_tables(g.keys, stencil.astype(np.int64))[:n]
-        t[:n] = np.where(idx < cap, idx, -1)
+        t[:n] = _stencil_tables(g.keys, stencil.astype(np.int64),
+                                base_keys=g.keys[:n], cap=cap)
         nbr.append(jnp.asarray(t))
     for d in range(len(grids) - 1):
         fine, coarse = grids[d], grids[d + 1]
@@ -278,9 +279,9 @@ def build_unet_tables(grids: Sequence[HostGrid],
         n = min(len(coarse.keys), cap_c)
         # child keys = pack64(2c + off) = 2*pack64(c) - pack64(0) + delta
         doubled = 2 * coarse.keys[:n] - pack64(np.zeros((1, 3), np.int64))
-        idx = _stencil_tables(fine.keys, _OFFS2, base_keys=doubled)
         t = np.full((cap_c, 8), -1, np.int32)
-        t[:n] = np.where(idx < cap_f, idx, -1)
+        t[:n] = _stencil_tables(fine.keys, _OFFS2, base_keys=doubled,
+                                cap=cap_f)
         child.append(jnp.asarray(t))
     return UNetTables(nbr=tuple(nbr), child=tuple(child))
 
@@ -308,10 +309,10 @@ def support_indices(grids: Sequence[HostGrid], capacities: Sequence[int],
             order = radix_argsort(base)
             sorted_base = base[order]
         idx_sorted = _stencil_tables(g.keys, _OFFS2,
-                                     base_keys=sorted_base)
-        idx = np.empty_like(idx_sorted)
-        idx[order] = idx_sorted
+                                     base_keys=sorted_base, cap=cap)
         # plain numpy: jit converts at the call boundary, and host-side
         # consumers (mask tests) avoid a device round-trip
-        out.append(np.where(idx < cap, idx, -1))
+        idx = np.empty_like(idx_sorted)
+        idx[order] = idx_sorted
+        out.append(idx)
     return tuple(out)

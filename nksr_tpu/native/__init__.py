@@ -63,6 +63,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.stencil_join_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
     _LIB = lib
     return _LIB
 
@@ -83,6 +88,31 @@ def sorted_join(sorted_keys: np.ndarray,
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), keys.shape[0],
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), q.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def stencil_join(sorted_keys: np.ndarray, sorted_base: np.ndarray,
+                 deltas: np.ndarray, cap: Optional[int] = None
+                 ) -> np.ndarray:
+    """(len(base), K) positions of base+delta_k in sorted keys, -1 if
+    absent or >= cap — K monotone merge cursors in one native pass."""
+    lib = _load()
+    keys = np.ascontiguousarray(sorted_keys, np.int64)
+    base = np.ascontiguousarray(sorted_base, np.int64)
+    d = np.ascontiguousarray(deltas, np.int64)
+    capv = (1 << 31) - 1 if cap is None else int(cap)
+    if lib is None:
+        out = np.empty((base.shape[0], d.shape[0]), np.int32)
+        for k in range(d.shape[0]):
+            col = sorted_join(keys, base + d[k])
+            out[:, k] = np.where(col < capv, col, -1)
+        return out
+    out = np.empty((base.shape[0], d.shape[0]), np.int32)
+    lib.stencil_join_i64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), keys.shape[0],
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), base.shape[0],
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), d.shape[0],
+        capv, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
 
 

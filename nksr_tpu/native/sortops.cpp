@@ -109,4 +109,28 @@ int64_t merge_unique_i64(const int64_t* base, int64_t n,
   return m;
 }
 
+// Fused K-offset stencil join: out[i*K + k] = index of (base[i] +
+// deltas[k]) in sorted `keys`, -1 if absent or >= cap.  `base` sorted
+// ascending; each shifted column is then also sorted, so K monotone
+// cursors into `keys` advance in one row-major pass — no per-column
+// temp arrays, no separate mask pass (replaces the numpy loop in
+// core/host_build.py::_stencil_tables).
+void stencil_join_i64(const int64_t* keys, int64_t n,
+                      const int64_t* base, int64_t m,
+                      const int64_t* deltas, int32_t K,
+                      int32_t cap, int32_t* out) {
+  std::vector<int64_t> cur(K, 0);
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t b = base[i];
+    int32_t* row = out + i * K;
+    for (int32_t k = 0; k < K; ++k) {
+      int64_t v = b + deltas[k];
+      int64_t c = cur[k];
+      while (c < n && keys[c] < v) ++c;
+      cur[k] = c;
+      row[k] = (c < n && keys[c] == v && c < cap) ? (int32_t)c : -1;
+    }
+  }
+}
+
 }  // extern "C"

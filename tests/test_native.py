@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from nksr_tpu.native import (merge_unique, radix_argsort, sort_unique,
-                             sorted_join, keysearch, using_native)
+                             sorted_join, keysearch, stencil_join,
+                             using_native)
 
 
 @pytest.mark.parametrize("n", [0, 1, 7, 1000, 100000])
@@ -35,6 +36,33 @@ def test_merge_unique_matches_numpy():
     deltas = rng.integers(-100, 100, 27).astype(np.int64)
     ref = np.unique((base[:, None] + deltas[None]).ravel())
     np.testing.assert_array_equal(merge_unique(base, deltas), ref)
+
+
+@pytest.mark.parametrize("cap", [None, 2500])
+def test_stencil_join_matches_per_column(cap):
+    rng = np.random.default_rng(4)
+    keys = np.unique(rng.integers(0, 10 ** 6, 4000).astype(np.int64))
+    base = np.sort(rng.choice(keys, 1500, replace=False))
+    deltas = np.concatenate([[0], rng.integers(-50, 50, 26)]) \
+        .astype(np.int64)
+    got = stencil_join(keys, base, deltas, cap=cap)
+    capv = (1 << 31) - 1 if cap is None else cap
+    ref = np.empty((len(base), len(deltas)), np.int32)
+    for k, d in enumerate(deltas):
+        col = sorted_join(keys, base + d)
+        ref[:, k] = np.where(col < capv, col, -1)
+    np.testing.assert_array_equal(got, ref)
+    if cap is None:
+        assert (got[:, 0] >= 0).all()   # delta 0: base keys all present
+
+
+def test_stencil_join_empty():
+    deltas = np.array([0, 1], np.int64)
+    assert stencil_join(np.empty(0, np.int64),
+                        np.empty(0, np.int64), deltas).shape == (0, 2)
+    out = stencil_join(np.empty(0, np.int64),
+                       np.array([5], np.int64), deltas)
+    np.testing.assert_array_equal(out, [[-1, -1]])
 
 
 def test_joins_match_searchsorted():
