@@ -731,6 +731,20 @@ def _av0_adjoint(spec: LatticeSpec, y0: jnp.ndarray,
     return tuple(outs)
 
 
+def _gram_middle(spec: LatticeSpec, z0: jnp.ndarray, phase,
+                 dtype) -> jnp.ndarray:
+    """C C^T applied in depth-0 row space: (cells_0, lanes) ->
+    (cells_0, lanes).
+
+    The cascade C (packed coeffs -> AV0) is lane-block-diagonal over
+    depths, so C C^T = blockdiag_d of up_d . E_d E_d^T . down_d with
+    E_d the per-depth corner expansion — the dual matvec never needs the
+    packed-coefficient round trip (the two cascades that dominate the
+    primal matvec's cost).  Exactly _av0 . _av0_adjoint.
+    """
+    return _av0(spec, _av0_adjoint(spec, z0, phase), phase, dtype)
+
+
 def _take_rows_sorted(tab: jnp.ndarray, idx: jnp.ndarray,
                       is_sorted: bool) -> jnp.ndarray:
     """tab[idx] along axis 0 with an explicit sortedness hint (the slot
@@ -948,7 +962,9 @@ def lattice_solve(spec: LatticeSpec, interp,
                   slot_cell0_pt: jnp.ndarray, slot_cell0_gr: jnp.ndarray,
                   gr_perm: Optional[jnp.ndarray] = None,
                   phase=None,  # ignored: plans are zero-phase (nested)
-                  compute_dtype: str = "float32") -> Tuple[jnp.ndarray, ...]:
+                  compute_dtype: str = "float32",
+                  formulation: str = "primal",
+                  cascade_engine: str = "xla") -> Tuple[jnp.ndarray, ...]:
     """Fit flat per-depth coefficients (cap_d * K,) — same output
     convention as KernelField.solve_non_fused, same math, dense engine.
 
@@ -1013,9 +1029,21 @@ def lattice_solve(spec: LatticeSpec, interp,
     # per-depth coefficients.
     n_c0 = spec.n_cells(0)
 
+    if cascade_engine == "pallas":
+        from . import lattice_pallas as LP
+        if not LP.supports(spec):
+            cascade_engine = "xla"
+    if cascade_engine == "pallas":
+        fwd_cascade = functools.partial(LP.av0_cascade_pallas, spec)
+        adj_cascade = functools.partial(LP.av0_adjoint_cascade_pallas,
+                                        spec)
+    else:
+        fwd_cascade = functools.partial(_av0_cascade, spec)
+        adj_cascade = functools.partial(_av0_adjoint_cascade, spec)
+
     def apply_A(xs):
         """rows = A x for both row families."""
-        av0 = jax.lax.optimization_barrier(_av0_cascade(spec, xs, cdt))
+        av0 = jax.lax.optimization_barrier(fwd_cascade(xs, cdt))
         av_pt = _take_rows_sorted(av0, slot_cell0_pt, True)
         av_gr = _take_rows_sorted(av0, slot_cell0_gr, gr_sorted)
         t_pt = jnp.einsum('rsl,sl->rs', b_pt, av_pt,
@@ -1034,7 +1062,7 @@ def lattice_solve(spec: LatticeSpec, interp,
                                       mode="drop")
         z0 = z0.at[slot_cell0_gr].add(y_gr, indices_are_sorted=gr_sorted,
                                       mode="drop")
-        return _av0_adjoint_cascade(spec, z0)
+        return adj_cascade(z0)
 
     def matvec(xs):
         t_pt, t_gr = apply_A(xs)
@@ -1042,6 +1070,80 @@ def lattice_solve(spec: LatticeSpec, interp,
         return jax.tree_util.tree_map(
             lambda yi, xi: yi + reg_weight * xi, y, xs)
 
+    # ---- dual (Gram/row-space) formulation --------------------------
+    # The primal normal matrix A^T W A + reg I over the ~24M redundant
+    # multilevel coefficients has near-null modes (fine-depth combos that
+    # cancel coarse ones) whose Jacobi-scaled eigenvalues ~ reg/diag —
+    # measured kappa ~ 1e5 and CG stalls (scripts/cg_convergence_study).
+    # Substituting x = A^T W^{1/2} u solves the ROW-space system
+    #     (W^{1/2} A A^T W^{1/2} + reg I) u = W^{1/2} y
+    # instead (same pieces, same per-iteration cost, exact same x): the
+    # redundancy modes vanish and the spectrum is the kernel Gram's —
+    # the reference's own formulation (models/nksr_net.py:105-112).
+    # Rows of (B C) hit pairwise-distinct coefficients lane-by-lane, so
+    # diag(Gram)_r = w_r * ||b_r||^2 exactly — the Jacobi precond is one
+    # einsum.  CG vectors are (p_rows, s_pt)+(3, s_gr): ~6x smaller.
+    if formulation == "dual":
+        sw_pt = jnp.sqrt(w_pt)
+        sw_gr = jnp.sqrt(w_gr)
+        phase0 = tuple((0, 0, 0) for _ in range(depth))
+        import os as _os
+        middle = _os.environ.get("NKSR_DUAL_MIDDLE", "gram")
+
+        def dual_matvec(u):
+            u_pt, u_gr = u
+            if middle == "gram":
+                # rows -> z0 -> C C^T z0 -> rows: stays in depth-0 row
+                # space; skips both packed-coefficient cascades
+                y_pt = jnp.einsum('rsl,rs->sl', b_pt,
+                                  (sw_pt * u_pt).astype(cdt),
+                                  preferred_element_type=f32)
+                y_gr = jnp.einsum('rsl,rs->sl', b_gr,
+                                  (sw_gr[None, :] * u_gr).astype(cdt),
+                                  preferred_element_type=f32)
+                z0 = jnp.zeros((n_c0, spec.lanes), f32)
+                z0 = z0.at[slot_cell0_pt].add(
+                    y_pt, indices_are_sorted=True, mode="drop")
+                z0 = z0.at[slot_cell0_gr].add(
+                    y_gr, indices_are_sorted=gr_sorted, mode="drop")
+                av0 = jax.lax.optimization_barrier(
+                    _gram_middle(spec, z0, phase0, cdt))
+                av_pt = _take_rows_sorted(av0, slot_cell0_pt, True)
+                av_gr = _take_rows_sorted(av0, slot_cell0_gr, gr_sorted)
+                t_pt = jnp.einsum('rsl,sl->rs', b_pt, av_pt,
+                                  preferred_element_type=f32)
+                t_gr = jnp.einsum('rsl,sl->rs', b_gr, av_gr,
+                                  preferred_element_type=f32)
+            else:
+                xs_ = apply_AT(sw_pt * u_pt, sw_gr[None, :] * u_gr)
+                t_pt, t_gr = apply_A(xs_)
+            return (sw_pt * t_pt + reg_weight * u_pt,
+                    sw_gr[None, :] * t_gr + reg_weight * u_gr)
+
+        rhs_d = (jnp.zeros((spec.p_rows, spec.s_pt), f32),
+                 sw_gr[None, :] * jnp.swapaxes(gr_targets, 0, 1))
+        rowsq_pt = jnp.sum(b_pt.astype(f32) ** 2, axis=-1)
+        rowsq_gr = jnp.sum(b_gr.astype(f32) ** 2, axis=-1)
+        diag_d = jax.lax.optimization_barrier(
+            (w_pt * rowsq_pt + reg_weight,
+             w_gr[None, :] * rowsq_gr + reg_weight))
+
+        def precond_d(r):
+            return jax.tree_util.tree_map(lambda ri, di: ri / di,
+                                          r, diag_d)
+
+        u_pt, u_gr = solve_spd(dual_matvec, rhs_d, precond=precond_d,
+                               tol=tol, max_iters=max_iters)
+        xs = apply_AT(sw_pt * u_pt, sw_gr[None, :] * u_gr)
+        alphas = []
+        for d in range(depth):
+            cap = vox_cell[d].shape[0]
+            rows = jnp.take(xs[d].reshape(-1, k), vox_cell[d], axis=0)
+            rows = jnp.where(vox_active[d][:, None], rows, 0.0)
+            alphas.append(rows.reshape(cap * k))
+        return tuple(alphas)
+
+    # ---- primal formulation -----------------------------------------
     # rhs = A_g^T W_g targets (value rows have target 0)
     rhs = apply_AT(jnp.zeros((spec.p_rows, spec.s_pt), f32),
                    w_gr[None, :] * jnp.swapaxes(gr_targets, 0, 1))

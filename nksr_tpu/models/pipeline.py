@@ -51,6 +51,19 @@ class PipelineConfig:
     # buffer (f32 accumulation regardless).  'auto' = bf16 on TPU
     # backends, f32 on CPU — resolved by the Reconstructor.
     solver_compute_dtype: str = "auto"
+    # 'primal' solves the coefficient-space normal equations (default);
+    # 'dual' the row-space Gram system (the reference's formulation) —
+    # mathematically identical at convergence, but EXPERIMENTAL here:
+    # Jacobi on the Gram (near-uniform row norms) preconditions far
+    # worse than Jacobi on the primal (measured: dual rel-res 0.78 after
+    # 400 iters where primal reaches 7e-3 — scripts/debug_dual.py); the
+    # dual only pays off once it has a real preconditioner.
+    solver_formulation: str = "primal"
+    # fused-AV0 cascade engine inside the CG matvec: 'xla' (dense
+    # shift/upsample chain) or 'pallas' (one-pass tiled kernel —
+    # fields/lattice_pallas.py; exact on the reachable subspace).
+    # 'auto' = pallas on TPU backends, xla on CPU (no Mosaic there).
+    cascade_engine: str = "auto"
     capacities: Tuple[int, ...] = (65536, 32768, 16384, 8192)
     adaptive_tau: float = 0.1
     # decoder hierarchy source at inference: 'predicted' (structure head,

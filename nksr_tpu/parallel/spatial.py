@@ -113,7 +113,9 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
     caps = tuple(_pow2(max(len(g[d].keys) for g in grids_list))
                  for d in range(cfg.tree_depth))
     cap_pts = _pow2(max(int(s.sum()) for s in sel_list))
-    from ..recon.reconstructor import resolve_solver_dtype
+    from ..recon.reconstructor import (resolve_solver_dtype,
+                                       resolve_cascade_engine)
+    _cascade_eng = resolve_cascade_engine(cfg.cascade_engine)
     cfg = dataclasses.replace(
         cfg, capacities=caps, approx_kernel_grad=approx_kernel_grad,
         solver_tol=solver_tol, structure_mode="splat",
@@ -270,7 +272,8 @@ def reconstruct_chunks_sharded(recon, xyz: np.ndarray,
                 slot_cell0_gr=lat["slot_cell0_gr"],
                 gr_perm=lat["gr_perm"],
                 phase=lat["phase"],
-                compute_dtype=cfg.solver_compute_dtype)
+                compute_dtype=cfg.solver_compute_dtype,
+                cascade_engine=_cascade_eng)
             field = KernelField(
                 svh=dec_svh, features=out.basis_features, interp=interp,
                 alpha=alphas, kernel_dim=cfg.kernel_dim,

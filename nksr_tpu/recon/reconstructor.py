@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Callable, Optional
 
 import jax
@@ -38,6 +39,15 @@ def resolve_solver_dtype(dt: str) -> str:
     if dt != "auto":
         return dt
     return "float32" if jax.default_backend() == "cpu" else "bfloat16"
+
+
+def resolve_cascade_engine(eng: str) -> str:
+    """'auto' -> the Pallas one-pass cascade on TPU backends (Mosaic),
+    the XLA shift/upsample chain on CPU.  NKSR_CASCADE overrides."""
+    eng = os.environ.get("NKSR_CASCADE", eng)
+    if eng != "auto":
+        return eng
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
 @functools.lru_cache(maxsize=32)
@@ -117,7 +127,9 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key):
             approx_grad=cfg.approx_kernel_grad,
             slot_cell0_pt=slot_cell0_pt, slot_cell0_gr=slot_cell0_gr,
             gr_perm=gr_perm,
-            phase=phase, compute_dtype=cfg.solver_compute_dtype)
+            phase=phase, compute_dtype=cfg.solver_compute_dtype,
+            formulation=cfg.solver_formulation,
+            cascade_engine=resolve_cascade_engine(cfg.cascade_engine))
         field = KernelField(
             svh=dec_svh, features=basis_feats, interp=interp,
             alpha=alphas, kernel_dim=cfg.kernel_dim,

@@ -119,9 +119,28 @@ def main():
         y = jax.tree_util.tree_map(lambda a, b: a + 1e-3 * b, outs, x)
         return small(y)
 
+    def _matvec(x):
+        z0 = _scatter(x)
+        outs = LAT._av0_adjoint_cascade(spec, z0)
+        return jax.tree_util.tree_map(lambda a, b: a + 1e-3 * b, outs, x)
+
+    def v_loop10(x):
+        """10 chained matvecs in a while_loop — captures the remat/
+        layout penalties the CG loop pays that standalone calls don't."""
+        def body(state):
+            i, xs_ = state
+            ys = _matvec(xs_)
+            s = sum(jnp.sum(jnp.abs(y[:1, :1])) for y in ys) + 1.0
+            ys = jax.tree_util.tree_map(lambda a: a / s, ys)
+            return i + 1, ys
+        _, out = jax.lax.while_loop(lambda s: s[0] < 10, body,
+                                    (jnp.zeros((), jnp.int32), x))
+        return small(out)
+
     variants = [("cascade", v_cascade), ("gather", v_gather),
                 ("einsumA", v_einA), ("einsumAT", v_einAT),
-                ("scatter", v_scatter), ("full", v_full)]
+                ("scatter", v_scatter), ("full", v_full),
+                ("loop10", v_loop10)]
     prev = 0.0
     for name, fn in variants:
         jf = jax.jit(fn)
