@@ -255,23 +255,24 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         unpack64(sb).astype(np.int64)                     # (n, 3) int
     slot_cell0 = cell0_sorted[pair_first] if n else np.zeros((0, 3), np.int64)
 
+    from ..native import flat_cells
+
     def flat_cell(cd: np.ndarray, d: int) -> np.ndarray:
-        """Map coordinates ALREADY at depth d into the depth-d lattice."""
-        x, y, z = dims[d]
-        loc = cd - origins[d]
-        ok = ((loc >= 0) & (loc < np.array([x, y, z]))).all(-1)
-        f = (loc[:, 0] * y + loc[:, 1]) * z + loc[:, 2]
-        return np.where(ok, f, 0).astype(np.int32)
+        """Map coordinates ALREADY at depth d into the depth-d lattice
+        (one fused native pass: shift/subtract/bounds/index)."""
+        return flat_cells(cd, 0, origins[d], dims[d])
 
     slot_cell_pt = np.zeros((depth, s_pt), np.int32)
     for d in range(depth):
-        slot_cell_pt[d, :n_slots] = flat_cell(slot_cell0 >> d, d)
+        flat_cells(slot_cell0, -d, origins[d], dims[d],
+                   out=slot_cell_pt[d, :n_slots])
     # fused depth-0 slot cells (sorted by construction: slots enumerate
     # the sorted point keys).  Pad slots repeat the last cell so the
     # sortedness hint stays valid; their rows are zero.
     slot_cell0_pt = np.zeros(s_pt, np.int32)
     if n_slots:
-        slot_cell0_pt[:n_slots] = flat_cell(slot_cell0, 0)
+        flat_cells(slot_cell0, 0, origins[0], dims[0],
+                   out=slot_cell0_pt[:n_slots])
         slot_cell0_pt[n_slots:] = slot_cell0_pt[n_slots - 1]
 
     pt_dest = (row_in_slot * s_pt + slot_of_pt).astype(np.int32)
@@ -296,27 +297,30 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
         np.zeros(0, bool)
     s_gr = len(gr_coords)
 
+    # grad slots are concatenated per source depth dd, so each dd is a
+    # contiguous range — the per-depth shifts run as strided native
+    # passes with no masked gathers or temporaries
+    gr_offs = np.cumsum([0] + [dec_caps[dd]
+                               for dd in range(adaptive_depth)])
     slot_cell_gr = np.zeros((depth, max(s_gr, 1)), np.int32)
     for d in range(depth):
         # support cell of a depth-dd voxel center at depth d:
         # floor(c * 2^dd / 2^d) = c << (dd-d)  |  c >> (d-dd)
-        cells = np.zeros((s_gr, 3), np.int64)
         for dd in range(adaptive_depth):
-            m = gr_depth == dd
-            cc = gr_coords[m]
-            cells[m] = (cc << (dd - d)) if dd >= d else (cc >> (d - dd))
-        slot_cell_gr[d, :s_gr] = flat_cell(cells, d)
+            lo, hi = int(gr_offs[dd]), int(gr_offs[dd + 1])
+            flat_cells(gr_coords[lo:hi], dd - d, origins[d], dims[d],
+                       out=slot_cell_gr[d, lo:hi])
     slot_cell_gr = slot_cell_gr[:, :s_gr] if s_gr else \
         np.zeros((depth, 0), np.int32)
     # fused depth-0 cell of each grad slot: a depth-dd voxel's support
     # cell at depth d is ((c_dd << dd) >> d) for every d, so indexing the
     # AV0 buffer at (c_dd << dd) reads the right lanes at all depths
     if s_gr:
-        c0_gr = np.zeros((s_gr, 3), np.int64)
+        slot_cell0_gr = np.zeros(s_gr, np.int32)
         for dd in range(adaptive_depth):
-            m = gr_depth == dd
-            c0_gr[m] = gr_coords[m] * (1 << dd)
-        slot_cell0_gr = flat_cell(c0_gr, 0)
+            lo, hi = int(gr_offs[dd]), int(gr_offs[dd + 1])
+            flat_cells(gr_coords[lo:hi], dd, origins[0], dims[0],
+                       out=slot_cell0_gr[lo:hi])
         slot_cell0_gr[~gr_active] = 0
         # sort grad slots globally by depth-0 cell so BOTH the fused
         # gather and the scatter-add get the sorted-indices hint

@@ -68,6 +68,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    lib.flat_cells_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
     _LIB = lib
     return _LIB
 
@@ -177,6 +182,38 @@ def merge_unique(sorted_base: np.ndarray, deltas: np.ndarray) -> np.ndarray:
         d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), d.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out[:m]
+
+
+def flat_cells(coords: np.ndarray, shift: int, origin, dims,
+               out: "np.ndarray | None" = None) -> np.ndarray:
+    """Fused lattice flat-cell pass (plan_lattice's flat_cell): shift
+    (n, 3) integer coords by ``shift`` (>=0: <<, <0: arithmetic >>),
+    subtract ``origin``, bounds-check against ``dims`` and emit the
+    row-major flat index (0 outside).  One native pass, no temporaries;
+    ``out`` may be a preallocated int32 view to write into."""
+    lib = _load()
+    c = np.ascontiguousarray(coords, np.int64)
+    n = c.shape[0]
+    ox, oy, oz = (int(origin[i]) for i in range(3))
+    X, Y, Z = (int(dims[i]) for i in range(3))
+    if lib is None:
+        cd = (c << shift) if shift >= 0 else (c >> -shift)
+        loc = cd - np.array([ox, oy, oz], np.int64)
+        ok = ((loc >= 0) & (loc < np.array([X, Y, Z]))).all(-1)
+        f = (loc[:, 0] * Y + loc[:, 1]) * Z + loc[:, 2]
+        r = np.where(ok, f, 0).astype(np.int32)
+        if out is not None:
+            out[:n] = r
+            return out
+        return r
+    if out is None:
+        out = np.empty(n, np.int32)
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.int32
+    lib.flat_cells_i64(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, shift,
+        ox, oy, oz, X, Y, Z,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 class KDTree:

@@ -133,4 +133,28 @@ void stencil_join_i64(const int64_t* keys, int64_t n,
   }
 }
 
+// Fused lattice flat-cell pass: for each coordinate row c, shift to the
+// target depth's scale (shift >= 0: c << shift, else arithmetic
+// c >> -shift), subtract the lattice origin, bounds-check against dims,
+// and emit the row-major flat index (0 when outside — the dense solve's
+// "alias to the zero-basis cell" convention, fields/lattice.py
+// plan_lattice::flat_cell).  One pass, no temporaries.
+void flat_cells_i64(const int64_t* coords, int64_t n, int32_t shift,
+                    int64_t ox, int64_t oy, int64_t oz,
+                    int64_t X, int64_t Y, int64_t Z, int32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cx = coords[i * 3], cy = coords[i * 3 + 1],
+            cz = coords[i * 3 + 2];
+    if (shift >= 0) {
+      cx <<= shift; cy <<= shift; cz <<= shift;
+    } else {
+      cx >>= -shift; cy >>= -shift; cz >>= -shift;
+    }
+    int64_t lx = cx - ox, ly = cy - oy, lz = cz - oz;
+    bool ok = (uint64_t)lx < (uint64_t)X && (uint64_t)ly < (uint64_t)Y &&
+              (uint64_t)lz < (uint64_t)Z;
+    out[i] = ok ? (int32_t)((lx * Y + ly) * Z + lz) : 0;
+  }
+}
+
 }  // extern "C"

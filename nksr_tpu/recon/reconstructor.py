@@ -41,13 +41,39 @@ def resolve_solver_dtype(dt: str) -> str:
     return "float32" if jax.default_backend() == "cpu" else "bfloat16"
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_cascade_ok() -> bool:
+    """One-time tiny on-device probe: does Mosaic compile+run the
+    cascade kernels here?  Keeps 'auto' safe on platforms where the
+    Pallas path is unavailable or regresses."""
+    try:
+        from ..fields import lattice as LAT
+        from ..fields import lattice_pallas as LP
+        spec = LAT.LatticeSpec(
+            dims=((16, 16, 8), (8, 8, 8)), k=4, depth=2,
+            adaptive_depth=1, s_pt=8, p_rows=4, s_gr=8, n_pts_cap=8)
+        xs = tuple(jnp.zeros((spec.n_cells(d) * 4 // 128, 128))
+                   for d in range(2))
+        out = LP.av0_cascade_pallas(spec, xs, jnp.float32,
+                                    interpret=False)
+        LP.av0_adjoint_cascade_pallas(
+            spec, jnp.zeros((spec.n_cells(0), spec.lanes)),
+            interpret=False)
+        np.asarray(out)
+        return True
+    except Exception:
+        return False
+
+
 def resolve_cascade_engine(eng: str) -> str:
     """'auto' -> the Pallas one-pass cascade on TPU backends (Mosaic),
     the XLA shift/upsample chain on CPU.  NKSR_CASCADE overrides."""
     eng = os.environ.get("NKSR_CASCADE", eng)
     if eng != "auto":
         return eng
-    return "xla" if jax.default_backend() == "cpu" else "pallas"
+    if jax.default_backend() == "cpu":
+        return "xla"
+    return "pallas" if _pallas_cascade_ok() else "xla"
 
 
 @functools.lru_cache(maxsize=32)

@@ -5,7 +5,34 @@ import pytest
 
 from nksr_tpu.native import (merge_unique, radix_argsort, sort_unique,
                              sorted_join, keysearch, stencil_join,
-                             using_native)
+                             flat_cells, using_native)
+
+
+@pytest.mark.parametrize("shift", [-3, -1, 0, 2])
+def test_flat_cells_matches_numpy(shift):
+    """Fused shift/origin/bounds/flat-index pass == the numpy oracle
+    (plan_lattice's flat_cell)."""
+    rng = np.random.default_rng(shift + 10)
+    c = rng.integers(-300, 300, (20000, 3)).astype(np.int64)
+    origin, dims = (-100, -50, -20), (190, 140, 80)
+    got = flat_cells(c, shift, origin, dims)
+    cd = (c << shift) if shift >= 0 else (c >> -shift)
+    loc = cd - np.array(origin, np.int64)
+    ok = ((loc >= 0) & (loc < np.array(dims))).all(-1)
+    f = (loc[:, 0] * dims[1] + loc[:, 1]) * dims[2] + loc[:, 2]
+    np.testing.assert_array_equal(got, np.where(ok, f, 0).astype(np.int32))
+
+
+def test_flat_cells_out_view():
+    """Writing into a preallocated strided row view (the slot-table
+    fill pattern in plan_lattice)."""
+    rng = np.random.default_rng(0)
+    c = rng.integers(-40, 40, (500, 3)).astype(np.int64)
+    tab = np.zeros((3, 600), np.int32)
+    flat_cells(c, -1, (-20, -20, -20), (40, 40, 40), out=tab[1, :500])
+    ref = flat_cells(c, -1, (-20, -20, -20), (40, 40, 40))
+    np.testing.assert_array_equal(tab[1, :500], ref)
+    assert tab[0].sum() == 0 and tab[2].sum() == 0 and tab[1, 500:].sum() == 0
 
 
 @pytest.mark.parametrize("n", [0, 1, 7, 1000, 100000])
