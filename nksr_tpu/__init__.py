@@ -21,11 +21,15 @@ import os as _os
 # Opt out entirely with NKSR_TPU_NO_COMPILE_CACHE=1.
 _plat = _os.environ.get("JAX_PLATFORMS", "")
 if not _os.environ.get("NKSR_TPU_NO_COMPILE_CACHE") and "cpu" not in _plat:
-    _os.environ.setdefault(
+    _cache_dir = _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.expanduser("~/.cache/nksr_tpu_xla"))
     try:
         import jax as _jax
+        # the env var alone is NOT reliable here: the axon sitecustomize
+        # imports jax before this package runs, so the option must be set
+        # through the live config
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                            1.0)
     except Exception:

@@ -71,36 +71,74 @@ def host_extract_dual_mesh(hf, mise_iter: int = 0,
 def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
                        eval_grad=None, mise_iter: int = 0,
                        texture=None) -> TriangleMesh:
-    """Core dual-MC given an int64 lattice and field evaluators."""
+    """Core dual-MC given an int64 lattice and field evaluators.
+
+    ``mise_iter`` performs hierarchical MISE subdivision (the reference
+    ``extract_dual_mesh(mise_iter=...)`` semantics,
+    /root/reference/NKSR-USAGE.md:77): each round evaluates the field at
+    the current lattice's corners, keeps only sign-crossing voxels,
+    subdivides them 2x (plus a one-face-ring dilation so boundary quads
+    stay sealed), and halves the cell size — extraction then runs on the
+    final fine lattice.  A single Newton polish toward the zero set
+    follows when gradients are available.
+    """
     V = len(vox)
     if V == 0:
         return TriangleMesh(np.zeros((0, 3), np.float32),
                             np.zeros((0, 3), np.int32), None)
-    vox_keys = HB.pack64(vox)
-    neg_default = -abs(s)
-
-    # ---- unique corner lattice (8-way merge over the sorted voxel keys)
-    from ..native import merge_unique
+    from ..native import merge_unique, sort_unique
     corner_offs = _CORNER_OFFS.astype(np.int64)
-    vox_corners = vox[:, None, :] + corner_offs[None]      # (V, 8, 3)
     corner_deltas = np.sort(np.array(
         [HB._offset_delta(o) for o in corner_offs], np.int64))
-    corner_keys = merge_unique(vox_keys, corner_deltas)
-    cc = HB.unpack64(corner_keys).astype(np.int64)         # (Q, 3)
-    corner_grid = HB.HostGrid(coords=cc.astype(np.int32), keys=corner_keys,
-                              voxel_size=s)
+
+    def corner_fields(vox, vox_keys, s):
+        """Unique corner lattice (8-way sorted merge), device-batched
+        field values, and the (V, 8) per-voxel corner value table."""
+        corner_keys = merge_unique(vox_keys, corner_deltas)
+        cc = HB.unpack64(corner_keys).astype(np.int64)
+        f_corner = np.asarray(
+            eval_fbar((cc.astype(np.float32) - 0.5) * s), np.float32)
+        cidx = HB._stencil_tables(corner_keys, corner_offs,
+                                  base_keys=vox_keys)
+        fvals = np.where(cidx >= 0, f_corner[np.maximum(cidx, 0)],
+                         np.float32(-abs(s)))
+        return corner_keys, cc, f_corner, fvals
+
+    vox = vox.astype(np.int64)
+    vox_keys = HB.pack64(vox)
+
+    # ---- hierarchical MISE subdivision
+    r = np.arange(-1, 2, dtype=np.int64)
+    d27 = np.stack(np.meshgrid(r, r, r, indexing="ij"),
+                   -1).reshape(-1, 3)
+    d27k = np.sort(np.array([HB._offset_delta(o) for o in d27], np.int64))
+    for _ in range(int(mise_iter)):
+        _, _, _, fvals = corner_fields(vox, vox_keys, s)
+        sign_v = fvals > 0
+        cross_v = sign_v.any(1) & ~sign_v.all(1)
+        if not cross_v.any():
+            break
+        # dilate the crossing set one coarse 27-ring BEFORE subdividing:
+        # the fine-level field can cross slightly outside the coarse
+        # crossing voxels (sub-voxel ripples the coarse corners missed),
+        # and any crossing outside the subdivided shell opens a hole
+        ck = merge_unique(sort_unique(HB.pack64(vox[cross_v])), d27k)
+        grow = HB.unpack64(np.intersect1d(ck, vox_keys,
+                                          assume_unique=True))
+        kids = (grow.astype(np.int64)[:, None, :] * 2
+                + HB._OFFS2[None]).reshape(-1, 3)
+        # fine-level 27-ring dilation: dual-MC quads reach diagonal
+        # voxels, so boundary quads need a full ring to stay sealed
+        vox_keys = merge_unique(sort_unique(HB.pack64(kids)), d27k)
+        vox = HB.unpack64(vox_keys).astype(np.int64)
+        s *= 0.5
+
+    neg_default = -abs(s)
+    vox_corners = vox[:, None, :] + corner_offs[None]      # (V, 8, 3)
+    corner_keys, cc, f_corner, fvals = corner_fields(vox, vox_keys, s)
 
     def corner_world(c):
         return ((c.astype(np.float32) - 0.5) * s)
-
-    # ---- field at corners (device, batched, sort-free)
-    f_corner = np.asarray(eval_fbar(corner_world(cc)), np.float32)
-
-    # per-voxel corner values (shifted merge joins: vox keys are sorted)
-    cidx = HB._stencil_tables(corner_keys, _CORNER_OFFS.astype(np.int64),
-                              base_keys=vox_keys)
-    fvals = f_corner[np.maximum(cidx, 0)]
-    fvals = np.where(cidx >= 0, fvals, neg_default)
 
     # ---- dual vertices: mean of edge crossings
     ea, eb = _EDGES[:, 0], _EDGES[:, 1]
@@ -117,8 +155,8 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
                      (pc * w[..., None]).sum(1) / np.maximum(wsum, 1e-20),
                      centers).astype(np.float32)
 
-    # ---- Newton refinement toward the zero set
-    for _ in range(int(mise_iter) if eval_grad is not None else 0):
+    # ---- one Newton polish toward the zero set (post-subdivision)
+    if eval_grad is not None and int(mise_iter) > 0:
         v, g = eval_grad(verts)
         step = v[:, None] * g / (np.sum(g * g, 1, keepdims=True) + 1e-12)
         verts = verts - np.clip(step, -0.5 * s, 0.5 * s)
@@ -126,8 +164,6 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
 
     # ---- quads over sign-changing corner edges
     tris = []
-    vox_grid = HB.HostGrid(coords=vox.astype(np.int32), keys=vox_keys,
-                           voxel_size=s)
     sign = f_corner > 0
     for a in range(3):
         nb = HB._stencil_tables(corner_keys,
@@ -151,6 +187,12 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
     if not tris:
         return TriangleMesh(verts, np.zeros((0, 3), np.int32), None)
     f = np.concatenate(tris, 0).astype(np.int32)
+
+    # drop dual vertices no face references (subdivided lattices carry
+    # many crossing-free voxels)
+    used, inv = np.unique(f.reshape(-1), return_inverse=True)
+    verts = verts[used]
+    f = inv.reshape(-1, 3).astype(np.int32)
 
     colors = None
     if texture is not None:

@@ -245,6 +245,18 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
         cand, cand_cap = child, ccap
     tm.lap("level loop")
 
+    # empty-prediction guard (reference parity:
+    # /root/reference/models/nksr_net.py:80-84) — an untrained or
+    # mismatched network can prune every voxel; warn instead of silently
+    # returning an empty field
+    if n > 0 and all(len(g_.keys) == 0 for g_ in dec_host):
+        import warnings
+        warnings.warn(
+            "predicted structure is empty (no decoder voxels survived "
+            "pruning) — the network is untrained or unsuited to this "
+            "input; pass structure='splat' for a weight-independent "
+            "hierarchy", RuntimeWarning)
+
     # final: heads + solve on the pruned hierarchy
     dec_caps = tuple(_next_pow2(len(g_.keys)) for g_ in dec_host)
     dec_svh = HB.to_device_svh(dec_host, dec_caps, cfg.voxel_size)

@@ -77,6 +77,26 @@ class TestHostReconstruct:
         _, counts = np.unique(edges, axis=0, return_counts=True)
         assert (counts == 2).mean() > 0.99
 
+    def test_mise_subdivides(self, fields):
+        """mise_iter performs hierarchical subdivision: each round halves
+        the near-surface cell size, so vertex count grows ~4x per round
+        (surface-area scaling) and accuracy does not regress."""
+        recon, xyz, nrm, hf = fields
+        m0 = hf.extract_dual_mesh(mise_iter=0)
+        m1 = hf.extract_dual_mesh(mise_iter=1)
+        u0, u1 = np.unique(m0.f), np.unique(m1.f)
+        assert len(u1) > 2.0 * len(u0), (len(u0), len(u1))
+        # the subdivided mesh follows the SOLVED field's fine-scale
+        # ripples (field error, not meshing error) — assert it stays
+        # within a fraction of the coarse voxel of the ideal sphere
+        e1 = np.abs(np.linalg.norm(m1.v[u1], axis=1) - 0.5).mean()
+        assert e1 < 0.25 * 0.1, e1
+        # subdivided mesh stays closed
+        edges = np.sort(np.concatenate(
+            [m1.f[:, [0, 1]], m1.f[:, [1, 2]], m1.f[:, [2, 0]]]), axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).mean() > 0.99
+
     def test_matches_in_graph_path(self, fields):
         recon, xyz, nrm, hf = fields
         # run the pure in-graph forward with the same weights/config and
