@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--mise_iter", type=int, default=1)
     ap.add_argument("--upsample", type=int, default=1)
     ap.add_argument("--save_meshes", action="store_true")
+    ap.add_argument("--eval_points", type=int, default=int(5e5),
+                    help="mesh samples for metrics (reference uses 5e5 "
+                         "for objects, 5e6 for scenes with GT geometry; "
+                         "models/nksr_net.py:301-303)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +54,7 @@ def main():
     run = Path(args.run_dir)
     run.mkdir(parents=True, exist_ok=True)
 
-    evaluator = MeshEvaluator(n_points=int(5e5))
+    evaluator = MeshEvaluator(n_points=args.eval_points)
     rows = []
     n = min(len(ds), args.limit) if args.limit else len(ds)
     for i in range(n):

@@ -28,10 +28,12 @@ if not _os.environ.get("NKSR_TPU_NO_COMPILE_CACHE") and "cpu" not in _plat:
         import jax as _jax
         # the env var alone is NOT reliable here: the axon sitecustomize
         # imports jax before this package runs, so the option must be set
-        # through the live config
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                           1.0)
+        # through the live config — but only when the user hasn't already
+        # configured a cache dir programmatically
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 

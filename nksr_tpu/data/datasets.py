@@ -184,15 +184,81 @@ class Points2SurfDataset(RandomSafeDataset):
         return self.transforms(data, rng)
 
 
-class MatterportDataset(AVDataset):
-    """Indoor region npz files (reference dataset/matterport.py:61-96) —
-    same npz field contract as AVDataset with region-based splits."""
+class MatterportDataset(RandomSafeDataset):
+    """Matterport indoor regions: ``<root>/<scene>/<region>/full.npz``
+    (dense GT points+normals) and ``partial.npz`` (scanned input), with
+    scene-level splits from ``scenes_train.txt``/``scenes_test.txt`` and a
+    deterministic train/val subdivision of the train scene list
+    (reference layout + semantics: /root/reference/dataset/matterport.py:
+    22-50 scene splits, :61-96 region enumeration and npz fields)."""
+
+    def __init__(self, root: str, spec: Sequence[DS], split: str = "train",
+                 tv_ratio: float = 0.7 / 0.8, partial_input: bool = False,
+                 custom_scenes: Optional[Sequence[str]] = None,
+                 transforms: Optional[Sequence[Dict]] = None, seed: int = 0,
+                 skip_on_error: bool = False):
+        super().__init__(seed, skip_on_error)
+        self.root = Path(root)
+        self.spec = list(spec)
+        self.split = split
+        self.partial_input = partial_input
+        self.transforms = ComposedTransforms(transforms)
+
+        if split == "test":
+            scenes = [l.strip() for l in
+                      (self.root / "scenes_test.txt").read_text()
+                      .splitlines() if l.strip()]
+        elif split == "custom":
+            scenes = list(custom_scenes or [])
+        else:
+            scenes = [l.strip() for l in
+                      (self.root / "scenes_train.txt").read_text()
+                      .splitlines() if l.strip()]
+            # deterministic shuffle so train/val partitions are disjoint
+            # across runs (mirrors the reference's RandomState(0) split)
+            np.random.RandomState(0).shuffle(scenes)
+            n_train = int(len(scenes) * tv_ratio)
+            scenes = scenes[:n_train] if split == "train" \
+                else scenes[n_train:]
+        self.regions = [(s, r.name) for s in scenes
+                        for r in sorted((self.root / s).iterdir())
+                        if r.is_dir()]
+
+    def __len__(self):
+        return len(self.regions)
+
+    def get_name(self):
+        return f"matterport-{self.split}"
+
+    def _get_item(self, idx, rng):
+        scene, region = self.regions[idx]
+        base = self.root / scene / region
+        full = np.load(base / "full.npz")
+        gx = full["points"].astype(np.float32)
+        gn = full["normals"].astype(np.float32)
+        if self.partial_input:
+            part = np.load(base / "partial.npz")
+            px = part["points"].astype(np.float32)
+            pn = part["normals"].astype(np.float32)
+        else:
+            px, pn = gx.copy(), gn.copy()
+        data: Dict = {DS.SHAPE_NAME: f"{scene}/{region}",
+                      DS.INPUT_PC: px}
+        if DS.TARGET_NORMAL in self.spec:
+            data[DS.TARGET_NORMAL] = pn
+        if DS.GT_DENSE_PC in self.spec:
+            data[DS.GT_DENSE_PC] = gx
+        if DS.GT_DENSE_NORMAL in self.spec:
+            data[DS.GT_DENSE_NORMAL] = gn
+        return self.transforms(data, rng)
 
 
 class CombinedDataset(RandomSafeDataset):
     """Mixture of datasets with logical subsampling: each epoch sees
-    ``ratio`` of each subset, rotating through reads
-    (reference dataset/combined.py:45-59)."""
+    ``ratio`` of each subset, and repeated reads of the same logical slot
+    rotate through the subset's physical items so the whole subset is
+    eventually visited (reference dataset/combined.py:45-59 semantics:
+    physical = (read_count * logical_len + slot) % physical_len)."""
 
     def __init__(self, datasets: Sequence[RandomSafeDataset],
                  ratios: Optional[Sequence[float]] = None, seed: int = 0):
@@ -201,16 +267,18 @@ class CombinedDataset(RandomSafeDataset):
         ratios = ratios or [1.0] * len(datasets)
         self.counts = [max(1, int(len(d) * r))
                        for d, r in zip(self.datasets, ratios)]
+        # per-(subset, logical slot) read counters
+        self._slot_reads: Dict = {}
 
     def __len__(self):
         return sum(self.counts)
 
     def _get_item(self, idx, rng):
-        for d, c in zip(self.datasets, self.counts):
+        for di, (d, c) in enumerate(zip(self.datasets, self.counts)):
             if idx < c:
-                # rotate through the subset across epochs
-                epoch = self._read_counts.get(("epoch", id(d)), 0)
-                base = (idx + epoch * c) % len(d)
+                reads = self._slot_reads.get((di, idx), 0)
+                self._slot_reads[(di, idx)] = reads + 1
+                base = (reads * c + idx) % len(d)
                 return d[base]
             idx -= c
         raise IndexError

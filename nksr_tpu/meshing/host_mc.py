@@ -113,6 +113,12 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
                    -1).reshape(-1, 3)
     d27k = np.sort(np.array([HB._offset_delta(o) for o in d27], np.int64))
     for _ in range(int(mise_iter)):
+        # pack64 budgets 21 bits/axis; doubling must stay well inside it
+        if np.abs(vox).max(initial=0) >= (1 << 19):
+            raise ValueError(
+                "MISE subdivision would overflow the 21-bit-per-axis "
+                "lattice key budget (|coord| >= 2^19); reduce mise_iter "
+                "or grid_upsample, or recentre/rescale the scene")
         _, _, _, fvals = corner_fields(vox, vox_keys, s)
         sign_v = fvals > 0
         cross_v = sign_v.any(1) & ~sign_v.all(1)
@@ -121,12 +127,19 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
         # dilate the crossing set one coarse 27-ring BEFORE subdividing:
         # the fine-level field can cross slightly outside the coarse
         # crossing voxels (sub-voxel ripples the coarse corners missed),
-        # and any crossing outside the subdivided shell opens a hole
+        # and any crossing outside the subdivided shell opens a hole.
+        # NOT intersected with vox_keys: out-of-mask voxels evaluate
+        # uniformly negative and add no crossings, just a few wasted
+        # evals, while clipping would thin the sealed margin at the rim.
         ck = merge_unique(sort_unique(HB.pack64(vox[cross_v])), d27k)
-        grow = HB.unpack64(np.intersect1d(ck, vox_keys,
-                                          assume_unique=True))
+        grow = HB.unpack64(ck)
+        # children over 2v+{-1,0,1}: under the centered-voxel convention
+        # (voxel v spans [(v-.5)s,(v+.5)s]) the 8 children 2v+{0,1} tile
+        # [(v-.25)s,(v+.75)s] — a quarter-cell shift that dropped quads
+        # on parents' minus faces; the 27-child set covers
+        # [(v-.75)s,(v+.75)s], symmetric with half-a-parent margin
         kids = (grow.astype(np.int64)[:, None, :] * 2
-                + HB._OFFS2[None]).reshape(-1, 3)
+                + d27[None]).reshape(-1, 3)
         # fine-level 27-ring dilation: dual-MC quads reach diagonal
         # voxels, so boundary quads need a full ring to stay sealed
         vox_keys = merge_unique(sort_unique(HB.pack64(kids)), d27k)

@@ -73,6 +73,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    if hasattr(lib, "raycast_inside"):
+        lib.raycast_inside.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32]
     _LIB = lib
     return _LIB
 
@@ -257,6 +263,52 @@ class KDTree:
         if getattr(self, "_lib", None) is not None and self._h:
             self._lib.kdtree_free(self._h)
             self._h = None
+
+
+def raycast_inside(verts: np.ndarray, faces: np.ndarray,
+                   queries: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    """Occupancy of query points in a (near-)watertight mesh via +z ray
+    parity, grid-accelerated (native/raycast.cpp — counterpart of the
+    reference's Open3D ray-cast IoU, /root/reference/metrics.py:159-188).
+    Returns (n_q,) bool."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    q = np.ascontiguousarray(queries, np.float32)
+    if lib is not None and hasattr(lib, "raycast_inside"):
+        out = np.empty(q.shape[0], np.uint8)
+        lib.raycast_inside(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), v.shape[0],
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), f.shape[0],
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), q.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
+        return out.astype(bool)
+    # numpy fallback: same +z parity, batched over queries, half-open
+    # edge rule via strict-positive/strict-negative orientation classes
+    if f.shape[0] == 0 or q.shape[0] == 0:
+        return np.zeros(q.shape[0], bool)
+    tri = v[f].astype(np.float64)              # (F, 3, 3)
+    inside = np.zeros(q.shape[0], bool)
+    step = max(1, int(2e7 // max(f.shape[0], 1)))
+    for s in range(0, q.shape[0], step):
+        qq = q[s:s + step].astype(np.float64)  # (B, 3)
+        px = qq[:, None, 0]
+        py = qq[:, None, 1]
+        a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+        e0 = (b[:, 0] - a[:, 0]) * (py - a[:, 1]) \
+            - (b[:, 1] - a[:, 1]) * (px - a[:, 0])
+        e1 = (c[:, 0] - b[:, 0]) * (py - b[:, 1]) \
+            - (c[:, 1] - b[:, 1]) * (px - b[:, 0])
+        e2 = (a[:, 0] - c[:, 0]) * (py - c[:, 1]) \
+            - (a[:, 1] - c[:, 1]) * (px - c[:, 0])
+        hit = ((e0 > 0) & (e1 > 0) & (e2 > 0)) | \
+              ((e0 < 0) & (e1 < 0) & (e2 < 0))
+        area = e0 + e1 + e2
+        safe = np.where(area == 0, 1.0, area)
+        z = (e1 * a[:, 2] + e2 * b[:, 2] + e0 * c[:, 2]) / safe
+        cross = hit & (area != 0) & (z > qq[:, 2:3])
+        inside[s:s + step] = (cross.sum(1) & 1).astype(bool)
+    return inside
 
 
 def using_native() -> bool:

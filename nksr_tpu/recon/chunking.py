@@ -44,7 +44,14 @@ class ChunkedField:
 
     # ------------------------------------------------------------- queries
     def evaluate_f_bar(self, x: np.ndarray) -> np.ndarray:
+        """Partition-of-unity blended field — the SAME field the mesher
+        extracts (queries and extract_dual_mesh agree by construction).
+        Chunks without host tables fall back to owner-cell routing."""
         x = np.asarray(x, np.float32)
+        host_chunks = [ch for ch in self.chunks
+                       if hasattr(ch["field"], "host_grids")]
+        if host_chunks:
+            return self._blend_eval(host_chunks, x)
         out = np.full(x.shape[0], -self.voxel_size, np.float32)
         cells = self._own_cell(x)
         for ch in self.chunks:
@@ -53,6 +60,50 @@ class ChunkedField:
                 vals = ch["field"].evaluate_f_bar(x[own])
                 out[own] = np.asarray(vals)
         return out
+
+    def _chunk_weight(self, ch, pts, blend):
+        """Partition-of-unity weight: linear ramps of width 2*blend at
+        interior cell boundaries (neighbors' ramps sum to 1), extended
+        past the scene edge at extreme cells."""
+        lo = self.origin + ch["cid"] * self.chunk_size
+        hi = lo + self.chunk_size
+        w = np.ones(pts.shape[0], np.float32)
+        for a in range(3):
+            rise = np.clip((pts[:, a] - lo[a]) / (2 * blend) + 0.5, 0, 1)
+            fall = np.clip((hi[a] - pts[:, a]) / (2 * blend) + 0.5, 0, 1)
+            if ch["cid"][a] == self.id_lo[a]:
+                rise = np.ones_like(rise)
+            if ch["cid"][a] == self.id_hi[a]:
+                fall = np.ones_like(fall)
+            w *= rise * fall
+        return w
+
+    def _blend_eval(self, host_chunks, pts, grad=False):
+        blend = 2.0 * self.voxel_size
+        acc = np.zeros(pts.shape[0], np.float32)
+        gacc = np.zeros((pts.shape[0], 3), np.float32)
+        wsum = np.zeros(pts.shape[0], np.float32)
+        for ch in host_chunks:
+            w = self._chunk_weight(ch, pts, blend)
+            sel = w > 0
+            if not sel.any():
+                continue
+            hf = ch["field"]
+            if grad:
+                v, g = hf._eval_batched(pts[sel], grad=True)
+            else:
+                v = hf._eval_batched(pts[sel])
+                m = hf._mask_host(pts[sel])
+                v = np.where(m, v, -self.voxel_size)
+            acc[sel] += w[sel] * v
+            if grad:
+                gacc[sel] += w[sel, None] * g
+            wsum[sel] += w[sel]
+        vals = np.where(wsum > 0, acc / np.maximum(wsum, 1e-12),
+                        -self.voxel_size).astype(np.float32)
+        if grad:
+            return vals, gacc / np.maximum(wsum[:, None], 1e-12)
+        return vals
 
     # ------------------------------------------------------------- meshing
     def extract_dual_mesh(self, mise_iter: int = 0, grid_upsample: int = 1,
@@ -82,52 +133,8 @@ class ChunkedField:
         vox = HB.unpack64(np.unique(HB.pack64(
             np.concatenate(vox_parts, 0)))).astype(np.int64)
 
-        blend = 2.0 * self.voxel_size
-
-        def chunk_weight(ch, pts):
-            """Partition-of-unity weight: linear ramps of width 2*blend at
-            interior cell boundaries (neighbors' ramps sum to 1), extended
-            past the scene edge at extreme cells."""
-            lo = self.origin + ch["cid"] * self.chunk_size
-            hi = lo + self.chunk_size
-            w = np.ones(pts.shape[0], np.float32)
-            for a in range(3):
-                rise = np.clip((pts[:, a] - lo[a]) / (2 * blend) + 0.5,
-                               0, 1)
-                fall = np.clip((hi[a] - pts[:, a]) / (2 * blend) + 0.5,
-                               0, 1)
-                if ch["cid"][a] == self.id_lo[a]:
-                    rise = np.ones_like(rise)
-                if ch["cid"][a] == self.id_hi[a]:
-                    fall = np.ones_like(fall)
-                w *= rise * fall
-            return w
-
         def route_eval(pts, grad=False):
-            acc = np.zeros(pts.shape[0], np.float32)
-            gacc = np.zeros((pts.shape[0], 3), np.float32)
-            wsum = np.zeros(pts.shape[0], np.float32)
-            for ch in host_chunks:
-                w = chunk_weight(ch, pts)
-                sel = w > 0
-                if not sel.any():
-                    continue
-                hf = ch["field"]
-                if grad:
-                    v, g = hf._eval_batched(pts[sel], grad=True)
-                else:
-                    v = hf._eval_batched(pts[sel])
-                    m = hf._mask_host(pts[sel])
-                    v = np.where(m, v, -self.voxel_size)
-                acc[sel] += w[sel] * v
-                if grad:
-                    gacc[sel] += w[sel, None] * g
-                wsum[sel] += w[sel]
-            vals = np.where(wsum > 0, acc / np.maximum(wsum, 1e-12),
-                            -self.voxel_size).astype(np.float32)
-            if grad:
-                return vals, gacc / np.maximum(wsum[:, None], 1e-12)
-            return vals
+            return self._blend_eval(host_chunks, pts, grad=grad)
 
         tex = next((getattr(ch["field"].field, "texture_field", None)
                     for ch in host_chunks), None)

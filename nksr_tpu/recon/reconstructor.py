@@ -246,6 +246,20 @@ class Reconstructor:
                     fused_mode: bool = False,
                     structure: Optional[str] = None,
                     mesh=None):
+        """Reconstruct an implicit field from a point cloud.
+
+        Parameter semantics follow the reference ``Reconstructor``
+        (NKSR-USAGE.md:128-137).  ``fused_mode``: the reference's fused
+        solve recomputes kernel supports inside each CG matvec instead of
+        materializing them (memory for compute).  Our default
+        dense-lattice engine (fields/lattice.py) is *always* matrix-free
+        in that sense — the AV0 cascade is recomputed per matvec and no
+        Gram matrix or per-row support tensor is ever materialized — so
+        on the lattice path the flag is satisfied by construction and
+        both values take the same (fused) engine.  Only the sparse
+        fallback (NKSR_LATTICE=0 / oversized bboxes) distinguishes the
+        two variants (fields/kernel_field.py solve_fused/solve_non_fused).
+        """
         xyz = np.asarray(input_xyz, np.float32)
         normal = None if input_normal is None else np.asarray(
             input_normal, np.float32)

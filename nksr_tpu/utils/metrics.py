@@ -109,12 +109,12 @@ class MeshEvaluator:
             dots2 = np.abs(np.sum(ref_nrm_sub * pd_nrm[i_g2p], axis=1))
             out["normals"] = float(0.5 * (dots1.mean() + dots2.mean()))
         if onet_samples is not None:
-            # occupancy IoU needs the field; handled by callers that have
-            # one (train/losses.py ShapeNetIoUMetric) — from a mesh alone
-            # use sign from nearest-normal orientation
+            # ray-cast occupancy IoU (reference metrics.py:182-188 uses an
+            # Open3D RayDistanceQuery; here the native +z-parity raycaster)
+            from ..native import raycast_inside
             pts, occ_gt = onet_samples
-            d, i = _nn(np.asarray(pts, np.float32), pd_pts)
-            side = np.sum((pts - pd_pts[i]) * pd_nrm[i], axis=1) < 0
+            side = raycast_inside(v, f.astype(np.int32),
+                                  np.asarray(pts, np.float32))
             occ_gt = np.asarray(occ_gt) > 0.5
             inter = np.logical_and(side, occ_gt).sum()
             union = np.logical_or(side, occ_gt).sum()

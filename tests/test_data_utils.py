@@ -95,6 +95,55 @@ class TestDatasetBase:
         collated = list_collate([a[0], a[1]])
         assert len(collated["v"]) == 2
 
+    def test_combined_rotation_visits_whole_subset(self):
+        """Repeated reads of a logical slot rotate through the physical
+        subset (reference dataset/combined.py:45-59 semantics)."""
+        from nksr_tpu.data.datasets import CombinedDataset
+
+        class DS2(RandomSafeDataset):
+            def __init__(self):
+                super().__init__(0, False)
+
+            def __len__(self):
+                return 6
+
+            def _get_item(self, idx, rng):
+                return {"i": idx}
+
+        # ratio 0.5: logical length 3 over physical 6
+        comb = CombinedDataset([DS2()], ratios=[0.5])
+        assert len(comb) == 3
+        seen = {comb[s]["i"] for _ in range(2) for s in range(3)}
+        assert seen == set(range(6))  # two passes cover all 6 items
+        # third pass wraps around to the first physical items
+        assert comb[0]["i"] == 0
+
+    def test_matterport_regions(self, tmp_path):
+        from nksr_tpu.data.datasets import MatterportDataset
+        for scene in ("sceneA", "sceneB"):
+            for region in ("region0", "region1"):
+                d = tmp_path / scene / region
+                d.mkdir(parents=True)
+                pts = np.random.rand(50, 3).astype(np.float32)
+                nrm = np.random.rand(50, 3).astype(np.float32)
+                np.savez(d / "full.npz", points=pts, normals=nrm)
+                np.savez(d / "partial.npz", points=pts[:20],
+                         normals=nrm[:20])
+        (tmp_path / "scenes_train.txt").write_text("sceneA\n")
+        (tmp_path / "scenes_test.txt").write_text("sceneB\n")
+        spec = [DS.SHAPE_NAME, DS.INPUT_PC, DS.TARGET_NORMAL,
+                DS.GT_DENSE_PC, DS.GT_DENSE_NORMAL]
+        tr = MatterportDataset(str(tmp_path), spec, split="train",
+                               tv_ratio=1.0, partial_input=True)
+        te = MatterportDataset(str(tmp_path), spec, split="test")
+        assert len(tr) == 2 and len(te) == 2
+        item = tr[0]
+        assert item[DS.SHAPE_NAME].startswith("sceneA/")
+        assert item[DS.INPUT_PC].shape == (20, 3)      # partial input
+        assert item[DS.GT_DENSE_PC].shape == (50, 3)   # full GT
+        full = te[0]
+        assert full[DS.INPUT_PC].shape == (50, 3)      # full input
+
     def test_to_device_batch_padding(self):
         item = {DS.INPUT_PC: np.random.rand(700, 3).astype(np.float32),
                 DS.TARGET_NORMAL: np.random.rand(700, 3).astype(np.float32),
@@ -157,6 +206,43 @@ class TestMetricsAndNative:
         assert out["chamfer-L1"] < 0.01
         assert out["f-score"] > 0.9
         assert out["normals"] > 0.99
+
+    def test_raycast_occupancy_iou(self):
+        """Ray-cast parity occupancy (native + numpy fallback) against a
+        closed cube — the reference's o3d-iou analog
+        (/root/reference/metrics.py:182-188)."""
+        import nksr_tpu.native as N
+        from nksr_tpu.native import raycast_inside
+
+        v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                      for z in (0, 1)], np.float32)
+        f = np.array([[0, 1, 3], [0, 3, 2], [4, 7, 5], [4, 6, 7],
+                      [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                      [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+                     np.int32)
+        rng = np.random.default_rng(3)
+        q = rng.uniform(-0.5, 1.5, (5000, 3)).astype(np.float32)
+        gt = np.all((q > 0) & (q < 1), axis=1)
+        got = raycast_inside(v, f, q)
+        assert (got == gt).mean() > 0.999
+        if N.using_native():   # fallback must agree with native
+            lib, N._LIB = N._LIB, None
+            tried, N._TRIED = N._TRIED, True
+            try:
+                got_np = raycast_inside(v, f, q)
+            finally:
+                N._LIB, N._TRIED = lib, tried
+            assert (got == got_np).all()
+
+        # MeshEvaluator IoU plumbing: perfect mesh vs its own occupancy
+        class M:
+            pass
+        m = M()
+        m.v, m.f = v, f.astype(np.int64)
+        ev = MeshEvaluator(n_points=5000)
+        ref, _ = sample_mesh(v, f.astype(np.int64), 5000)
+        out = ev.eval_mesh(m, ref, onet_samples=(q, gt.astype(np.float32)))
+        assert out["iou"] > 0.99
 
     def test_checkpoint_roundtrip(self, tmp_path):
         import jax
