@@ -260,9 +260,22 @@ class CombinedDataset(RandomSafeDataset):
     eventually visited (reference dataset/combined.py:45-59 semantics:
     physical = (read_count * logical_len + slot) % physical_len)."""
 
-    def __init__(self, datasets: Sequence[RandomSafeDataset],
-                 ratios: Optional[Sequence[float]] = None, seed: int = 0):
+    def __init__(self, datasets: Optional[Sequence[RandomSafeDataset]] = None,
+                 ratios: Optional[Sequence[float]] = None, seed: int = 0,
+                 spec: Optional[Sequence[DS]] = None,
+                 config_list: Optional[Sequence[Dict]] = None):
+        """Construct from built datasets OR a YAML-friendly
+        ``config_list`` of ``{name, ratio, args}`` entries (the
+        reference's combined config_list shape,
+        /root/reference/configs/mixed/data.yaml)."""
         super().__init__(seed, False)
+        if config_list is not None:
+            assert spec is not None, "config_list needs the DatasetSpec"
+            datasets = [build_dataset(c["name"], spec,
+                                      **c.get("args", {}))
+                        for c in config_list]
+            ratios = [c.get("ratio", c.get("subsample", 1.0))
+                      for c in config_list]
         self.datasets = list(datasets)
         ratios = ratios or [1.0] * len(datasets)
         self.counts = [max(1, int(len(d) * r))

@@ -26,14 +26,22 @@ UNKNOWN = 2
 
 
 class DensePointsGroundTruthGeometry:
-    """GT = a dense oriented point cloud; SDF queries via IMLS."""
+    """GT = a dense oriented point cloud; SDF queries via the sdfgen op.
+
+    ``mode='vote'`` (default) mirrors the reference AV GT path exactly:
+    majority-vote SDF with per-point adaptive radius, nb_points=8,
+    stdv=3.0, adaptive_knn=8 (/root/reference/dataset/av_gt_geometry.py:
+    63-78).  ``mode='imls'`` is the smooth IMLS estimator (better for
+    synthetic clean data)."""
 
     def __init__(self, xyz: np.ndarray, normal: np.ndarray,
-                 voxel_size: float = 0.1):
+                 voxel_size: float = 0.1, mode: str = "vote"):
         self.xyz = np.asarray(xyz, np.float32)
         self.normal = np.asarray(normal, np.float32)
         self.voxel_size = float(voxel_size)
+        self.mode = mode
         self._table = None
+        self._ref_std = None
 
     def torch_attr(self):  # API parity: (xyz, normal, aux)
         return self.xyz, self.normal, None
@@ -47,10 +55,23 @@ class DensePointsGroundTruthGeometry:
                 4.0 * self.voxel_size, cap, 32)
         return self._table
 
+    def _get_ref_std(self):
+        """Cached per-point adaptive radius (self-kNN mean distance,
+        reference sdf_from_points.cu:177-184)."""
+        if self._ref_std is None:
+            self._ref_std = SDF.reference_self_std(
+                self._get_table(), jnp.asarray(self.xyz), 8)
+        return self._ref_std
+
     def query_sdf(self, queries) -> jnp.ndarray:
-        """Positive INSIDE (negated IMLS, reference sign convention at
-        models/loss.py:85)."""
+        """Positive INSIDE (negated sdfgen output, reference sign
+        convention at models/loss.py:85, av_gt_geometry.py:72)."""
         q = jnp.asarray(queries)
+        if self.mode == "vote":
+            return -SDF.sdf_from_points(
+                q, jnp.asarray(self.xyz), jnp.asarray(self.normal), None,
+                table=self._get_table(), nb_points=8, stdv=3.0,
+                imls=False, ref_std=self._get_ref_std())
         return -SDF.sdf_from_points(q, jnp.asarray(self.xyz),
                                     jnp.asarray(self.normal), None,
                                     table=self._get_table())
@@ -64,7 +85,8 @@ class DensePointsGroundTruthGeometry:
     def crop(self, lo, hi) -> "DensePointsGroundTruthGeometry":
         keep = np.all((self.xyz >= lo) & (self.xyz <= hi), axis=1)
         return DensePointsGroundTruthGeometry(
-            self.xyz[keep], self.normal[keep], self.voxel_size)
+            self.xyz[keep], self.normal[keep], self.voxel_size,
+            mode=self.mode)
 
 
 class PointTSDFVolumeGroundTruthGeometry(DensePointsGroundTruthGeometry):
@@ -127,7 +149,8 @@ class PointTSDFVolumeGroundTruthGeometry(DensePointsGroundTruthGeometry):
                       for d, o in zip(dims, lo)]
         grid = np.stack(np.meshgrid(gx, gy, gz, indexing="ij"),
                         -1).reshape(-1, 3).astype(np.float32)
-        g = DensePointsGroundTruthGeometry(xyz, normal, voxel_size)
+        g = DensePointsGroundTruthGeometry(xyz, normal, voxel_size,
+                                           mode="imls")
         out = []
         for i in range(0, grid.shape[0], 1 << 16):
             out.append(np.asarray(g.query_sdf(grid[i:i + (1 << 16)])))

@@ -51,26 +51,32 @@ def extraction_lattice_host(host_grids, adaptive_depth: int,
 
 def host_extract_dual_mesh(hf, mise_iter: int = 0,
                            grid_upsample: int = 1) -> TriangleMesh:
+    from ..recon.host_predicted import _Timer
+    tm = _Timer()
     u = max(int(grid_upsample), 1)
     s = hf.host_grids[0].voxel_size / u
     vox = extraction_lattice_host(hf.host_grids, hf.adaptive_depth, u)
+    tm.lap(f"mc: extraction lattice ({len(vox)} vox)")
 
-    def eval_fbar(pts):
-        f = hf._eval_batched(pts)
-        m = hf._mask_host(pts)
-        return np.where(m, f, -hf.host_grids[0].voxel_size).astype(
-            np.float32)
+    if hasattr(hf, "eval_fbar_batched"):
+        eval_fbar = hf.eval_fbar_batched    # fused value+mask pass
+    else:
+        def eval_fbar(pts):
+            f = hf._eval_batched(pts)
+            m = hf._mask_host(pts)
+            return np.where(m, f, -hf.host_grids[0].voxel_size).astype(
+                np.float32)
 
     eval_grad = (lambda pts: hf._eval_batched(pts, grad=True)) \
         if mise_iter else None
     return dual_mc_on_lattice(vox, s, eval_fbar, eval_grad, mise_iter,
                               texture=getattr(hf.field, "texture_field",
-                                              None))
+                                              None), timer=tm)
 
 
 def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
                        eval_grad=None, mise_iter: int = 0,
-                       texture=None) -> TriangleMesh:
+                       texture=None, timer=None) -> TriangleMesh:
     """Core dual-MC given an int64 lattice and field evaluators.
 
     ``mise_iter`` performs hierarchical MISE subdivision (the reference
@@ -107,6 +113,13 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
     vox = vox.astype(np.int64)
     vox_keys = HB.pack64(vox)
 
+    class _NullTimer:
+        on = False
+
+        def lap(self, label):
+            pass
+    tm = timer if timer is not None else _NullTimer()
+
     # ---- hierarchical MISE subdivision
     r = np.arange(-1, 2, dtype=np.int64)
     d27 = np.stack(np.meshgrid(r, r, r, indexing="ij"),
@@ -120,6 +133,7 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
                 "lattice key budget (|coord| >= 2^19); reduce mise_iter "
                 "or grid_upsample, or recentre/rescale the scene")
         _, _, _, fvals = corner_fields(vox, vox_keys, s)
+        tm.lap(f"mc: mise corner eval ({len(vox)} vox)")
         sign_v = fvals > 0
         cross_v = sign_v.any(1) & ~sign_v.all(1)
         if not cross_v.any():
@@ -145,10 +159,12 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
         vox_keys = merge_unique(sort_unique(HB.pack64(kids)), d27k)
         vox = HB.unpack64(vox_keys).astype(np.int64)
         s *= 0.5
+        tm.lap(f"mc: mise round ({len(vox)} vox)")
 
     neg_default = -abs(s)
     vox_corners = vox[:, None, :] + corner_offs[None]      # (V, 8, 3)
     corner_keys, cc, f_corner, fvals = corner_fields(vox, vox_keys, s)
+    tm.lap(f"mc: final corner fields ({len(corner_keys)} corners)")
 
     def corner_world(c):
         return ((c.astype(np.float32) - 0.5) * s)
@@ -174,6 +190,7 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
         step = v[:, None] * g / (np.sum(g * g, 1, keepdims=True) + 1e-12)
         verts = verts - np.clip(step, -0.5 * s, 0.5 * s)
         verts = np.clip(verts, centers - 0.5 * s, centers + 0.5 * s)
+    tm.lap("mc: vertices + newton")
 
     # ---- quads over sign-changing corner edges
     tris = []
@@ -206,6 +223,7 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
     used, inv = np.unique(f.reshape(-1), return_inverse=True)
     verts = verts[used]
     f = inv.reshape(-1, 3).astype(np.int32)
+    tm.lap("mc: quads + compact")
 
     colors = None
     if texture is not None:

@@ -24,6 +24,32 @@ from ..train import loop as T
 from ..train import losses as L
 
 
+def init_distributed() -> bool:
+    """Multi-host bootstrap — the reference's DDP rank setup analog
+    (/root/reference/train.py:70-77, ZEUS_DL.md:145-157), the JAX way:
+    one process per HOST (not per chip), ``jax.distributed.initialize``
+    wires the coordinator, and every jit sees the global device set.
+
+    Controlled by env vars so single-process runs are untouched:
+      NKSR_NUM_PROCESSES  total processes (default 1 -> no-op)
+      NKSR_PROCESS_ID     this process's rank
+      NKSR_COORDINATOR    host:port of rank 0 (default localhost:12355)
+    Returns True when a multi-process group was initialized.
+    MUST run before any other JAX call (backend initialization is
+    one-shot).
+    """
+    import os
+    n = int(os.environ.get("NKSR_NUM_PROCESSES", "1"))
+    if n <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=os.environ.get("NKSR_COORDINATOR",
+                                           "localhost:12355"),
+        num_processes=n,
+        process_id=int(os.environ.get("NKSR_PROCESS_ID", "0")))
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis: str = "data") -> Mesh:
     devs = jax.devices()[: n_devices or len(jax.devices())]
@@ -31,9 +57,28 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict:
-    """Place stacked (B, ...) batch arrays with B sharded over the mesh."""
+    """Place stacked (B, ...) batch arrays with B sharded over the mesh.
+
+    Single-process: a device_put with the named sharding.  Multi-process
+    (jax.distributed): each process contributes its LOCAL (B/P, ...)
+    stack and the global array is assembled across hosts — the
+    ``batch_size // world_size`` semantics of the reference's DDP loaders
+    (/root/reference/models/base_model.py:487-505)."""
     sh = NamedSharding(mesh, PS("data"))
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def stack_samples(samples) -> Dict[str, np.ndarray]:
+    """Stack per-sample batch dicts (data/loader.to_device_batch output)
+    into (B, ...) arrays; keys absent from any sample are dropped."""
+    keys = set(samples[0])
+    for s in samples[1:]:
+        keys &= set(s)
+    return {k: np.stack([np.asarray(s[k]) for s in samples], 0)
+            for k in sorted(keys)}
 
 
 def replicate(mesh: Mesh, tree):

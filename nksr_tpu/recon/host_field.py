@@ -43,7 +43,8 @@ class HostField:
     def __init__(self, field, cfg, host_grids: List[HB.HostGrid],
                  capacities: Sequence[int], adaptive_depth: int,
                  udf_host: Optional[List[HB.HostGrid]] = None,
-                 udf_caps: Optional[Sequence[int]] = None):
+                 udf_caps: Optional[Sequence[int]] = None,
+                 lattice_ctx=None):
         self.field = field
         self.cfg = cfg
         self.host_grids = host_grids
@@ -53,6 +54,10 @@ class HostField:
         # model has one (cfg.udf_enabled; reference nksr_net.py:116-130)
         self.udf_host = udf_host
         self.udf_caps = None if udf_caps is None else tuple(udf_caps)
+        # lattice-native fast evaluator (fields/lattice_eval.py) when the
+        # field was solved on the dense lattice — replaces the generic
+        # host-support-table path for queries and meshing
+        self.lattice_ctx = lattice_ctx
 
     def __getattr__(self, name):
         return getattr(self.field, name)
@@ -63,6 +68,10 @@ class HostField:
 
     def _eval_batched(self, x: np.ndarray, grad: bool = False,
                       batch: int = 1 << 18):
+        if self.lattice_ctx is not None:
+            out = self.lattice_ctx.eval_batched(np.asarray(x, np.float32),
+                                                grad=grad)
+            return (out[0], out[2]) if grad else out[0]
         n = x.shape[0]
         vals = np.empty(n, np.float32)
         grads = np.empty((n, 3), np.float32) if grad else None
@@ -89,11 +98,30 @@ class HostField:
             m = _udf_mask_fn(self.cfg)(
                 mf, jnp.asarray(x), tuple(jnp.asarray(s) for s in sup))
             return np.asarray(m) > 0
+        if self.lattice_ctx is not None:
+            _, m = self.lattice_ctx.eval_batched(np.asarray(x, np.float32))
+            return m
         sup = HB.support_indices(self.host_grids, self.capacities, x)
         inside = np.zeros(x.shape[0], bool)
         for s in sup:
             inside |= (np.asarray(s) >= 0).any(1)
         return inside
+
+    def eval_fbar_batched(self, x: np.ndarray) -> np.ndarray:
+        """Fused value+mask pass (one device round-trip on the lattice
+        path) — the mesher's inner loop."""
+        x = np.asarray(x, np.float32)
+        has_udf_mask = (self.udf_host is not None
+                        and getattr(self.field, "mask_field", None)
+                        is not None
+                        and hasattr(self.field.mask_field, "level_set"))
+        neg = -self.host_grids[0].voxel_size
+        if self.lattice_ctx is not None and not has_udf_mask:
+            v, m = self.lattice_ctx.eval_batched(x)
+            return np.where(m, v, neg).astype(np.float32)
+        f = self._eval_batched(x)
+        m = self._mask_host(x)
+        return np.where(m, f, neg).astype(np.float32)
 
     def evaluate_f(self, x, grad: bool = False):
         from ..fields.kernel_field import FieldEval

@@ -213,7 +213,18 @@ class NetworkHandle:
         return self  # JAX manages placement; kept for API compatibility
 
     def load_state_dict(self, state_dict):
-        from ..utils.checkpoint import torch_state_dict_to_params
+        from ..utils.checkpoint import (import_reference_state_dict,
+                                        looks_like_reference_state_dict,
+                                        torch_state_dict_to_params)
+        if looks_like_reference_state_dict(state_dict):
+            # published wheel layout (ks/snet/p2s/carla —
+            # utils/checkpoint.py REFERENCE_FAMILIES): family-wise
+            # order+shape import with a loud per-family report
+            self.params, report = import_reference_state_dict(
+                state_dict, self.params)
+            for fam, status in report.items():
+                print(f"[nksr_tpu] checkpoint import: {fam}: {status}")
+            return self
         self.params = torch_state_dict_to_params(self.cfg, state_dict,
                                                  self.params)
         return self
@@ -443,10 +454,19 @@ class Reconstructor:
                 from ..utils.profiling import drain
                 drain(field.alpha)
             tm.lap("lattice solve")
+            from ..fields.lattice_eval import LatticeEvalContext
+            ctx = LatticeEvalContext(
+                spec, plan.origins,
+                self.network.params["params"]["interpolators"],
+                out.basis_features, field.alpha,
+                tuple(jnp.asarray(v) for v in plan.vox_cell),
+                tuple(jnp.asarray(v) for v in plan.vox_active),
+                cfg.voxel_size, cfg.approx_kernel_grad,
+                compute_dtype=cfg.solver_compute_dtype)
             return HostField(
                 field, cfg, dec_grids, dec_caps, cfg.adaptive_depth,
                 udf_host=grids if cfg.udf_enabled else None,
-                udf_caps=caps)
+                udf_caps=caps, lattice_ctx=ctx)
 
         # ---- sparse fallback (huge bboxes / NKSR_LATTICE=0) -------------
         # solve supports live on the DECODER hierarchy

@@ -98,16 +98,34 @@ def train_config_from_yaml(cfg: Config) -> T.TrainConfig:
 
 
 class RunLogger:
-    """CSV + stdout metric logging (wandb/tb stand-in; reference
-    models/base_model.py:265-330)."""
+    """Metric/artifact logging: CSV + stdout always, plus tensorboard
+    scalars/images when available and wandb when installed — the
+    reference's logger stack (models/base_model.py:265-330, wandb/tb
+    selection at train.py:185-240).
 
-    def __init__(self, run_dir: Path):
+    ``backend``: 'auto' (tensorboard if importable), 'tensorboard',
+    'wandb', or 'csv' (no extra backend)."""
+
+    def __init__(self, run_dir: Path, backend: str = "auto"):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.csv_path = self.run_dir / "metrics.csv"
         self._keys = None
-        self._writer = None
         self._fh = None
+        self._tb = None
+        self._wandb = None
+        if backend in ("auto", "tensorboard"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=str(self.run_dir / "tb"))
+            except Exception:
+                if backend == "tensorboard":
+                    raise
+        elif backend == "wandb":
+            import wandb  # hard requirement when explicitly requested
+            self._wandb = wandb.init(
+                project=f"nkfw-{self.run_dir.name}",
+                dir=str(self.run_dir), resume="allow")
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         row = {"step": step}
@@ -120,24 +138,136 @@ class RunLogger:
             self._keys = sorted(row)
         w.writerow(row)
         self._fh.flush()
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(row, step=step)
+
+    def log_image(self, step: int, tag: str, image: np.ndarray):
+        """(H, W, 3) uint8 -> tb/wandb + a PNG under artifacts/."""
+        art = self.run_dir / "artifacts"
+        art.mkdir(exist_ok=True)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.imsave(art / f"{tag.replace('/', '_')}_{step}.png", image)
+        except Exception:
+            pass
+        if self._tb is not None:
+            self._tb.add_image(tag, image, step, dataformats="HWC")
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({tag: wandb.Image(image)}, step=step)
+
+    def log_mesh(self, step: int, tag: str, verts: np.ndarray,
+                 faces: np.ndarray, max_tris: int = 30000):
+        """Save a .ply artifact + an offscreen shaded render (the
+        reference's mesh-render val logging,
+        /root/reference/models/base_model.py:302-330)."""
+        from ..data.io import write_ply
+        art = self.run_dir / "artifacts"
+        art.mkdir(exist_ok=True)
+        name = tag.replace("/", "_")
+        write_ply(art / f"{name}_{step}.ply", verts, faces)
+        img = render_mesh(verts, faces, max_tris=max_tris)
+        if img is not None:
+            self.log_image(step, tag, img)
 
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def render_mesh(verts: np.ndarray, faces: np.ndarray,
+                max_tris: int = 30000) -> Optional[np.ndarray]:
+    """Offscreen flat-shaded render -> (H, W, 3) uint8 (matplotlib
+    software rasterization; no GL stack in this environment)."""
+    if len(faces) == 0 or len(verts) == 0:
+        return None
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+    except Exception:
+        return None
+    f = faces
+    if len(f) > max_tris:
+        f = f[np.linspace(0, len(f) - 1, max_tris).astype(int)]
+    tris = verts[f]                                    # (T, 3, 3)
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-12
+    light = np.array([0.4, 0.3, 0.85])
+    shade = 0.25 + 0.75 * np.clip(n @ light, 0, 1)
+    fig = plt.figure(figsize=(5, 5), dpi=100)
+    ax = fig.add_subplot(projection="3d")
+    coll = Poly3DCollection(tris, linewidths=0)
+    coll.set_facecolor(np.stack([0.55 * shade, 0.65 * shade,
+                                 0.85 * shade, np.ones_like(shade)], 1))
+    ax.add_collection3d(coll)
+    lo, hi = verts.min(0), verts.max(0)
+    c, r = (lo + hi) / 2, (hi - lo).max() / 2 + 1e-6
+    ax.set_xlim(c[0] - r, c[0] + r)
+    ax.set_ylim(c[1] - r, c[1] + r)
+    ax.set_zlim(c[2] - r, c[2] + r)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
+def _log_val_mesh(logger: RunLogger, step: int, pcfg: P.PipelineConfig,
+                  state, val_loader) -> None:
+    """Reconstruct the first val cloud with the CURRENT params and log the
+    extracted mesh (+offscreen render) — the reference's val-time mesh
+    logging (models/nksr_net.py:205-216, base_model.py:302-330)."""
+    from ..recon.reconstructor import Reconstructor
+    batch = next(iter(val_loader), None)
+    if batch is None:
+        return
+    m = np.asarray(batch["mask"])
+    xyz = np.asarray(batch["xyz"])[m]
+    nrm = np.asarray(batch["normal"])[m] if "normal" in batch else None
+    recon = Reconstructor(config=pcfg, params=state.params)
+    hf = recon.reconstruct(xyz, nrm, detail_level=None,
+                           voxel_size=pcfg.voxel_size, structure="splat",
+                           solver_max_iters=min(pcfg.solver_max_iters, 48))
+    mesh = hf.extract_dual_mesh()
+    logger.log_mesh(step, "val/mesh", np.asarray(mesh.v),
+                    np.asarray(mesh.f))
 
 
 def fit(cfg: Config, train_loader: Iterable, val_loader: Optional[Iterable],
         run_dir: str, max_steps: int = 10 ** 9, val_every: int = 1000,
         ckpt_every: int = 1000, seed: int = 0,
-        resume: bool = False) -> T.TrainState:
+        resume: bool = False,
+        batch_size: Optional[int] = None) -> T.TrainState:
     """The fit loop: schedule-driven teacher forcing, periodic val,
-    best/last checkpointing, resume."""
+    best/last checkpointing, resume.
+
+    ``batch_size`` > 1 trains data-parallel: per step, ``batch_size``
+    clouds are stacked, sharded over a jax Mesh spanning all (global)
+    devices, and stepped through ``parallel.dp_train_step`` — XLA emits
+    the cross-chip gradient all-reduce (the reference's DDP analog,
+    SURVEY.md §2.3).  Requires the loader's clouds to share capacity
+    buckets (train.py sets point_bucket/gt_bucket)."""
     pcfg = pipeline_config_from_yaml(cfg)
     lcfg = loss_config_from_yaml(cfg)
     tcfg = train_config_from_yaml(cfg)
     run = Path(run_dir)
-    logger = RunLogger(run)
+    logger = RunLogger(run, backend=cfg.get("logger", "auto"))
+    log_mesh = bool(cfg.get("log_mesh_artifacts", False))
     rng = np.random.default_rng(seed)
+    sched = T.lr_schedule(tcfg)
 
     state = T.init_state(pcfg, tcfg, jax.random.PRNGKey(seed))
     start_step = 0
@@ -147,22 +277,59 @@ def fit(cfg: Config, train_loader: Iterable, val_loader: Optional[Iterable],
         start_step = int(state.step)
         print(f"[resume] from {last_ckpt} at step {start_step}")
 
+    dp = batch_size is not None and batch_size > 1
+    if dp:
+        from .. import parallel as PP
+        n_local = batch_size // jax.process_count()
+        n_mesh = min(len(jax.devices()), batch_size)
+        if batch_size % n_mesh != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of the mesh "
+                f"device count {n_mesh}")
+        mesh = PP.make_mesh(n_mesh)
+        state = PP.replicate(mesh, state)
+        base_iter = iter(train_loader)
+
+        def batches():
+            while True:
+                samples = []
+                try:
+                    for _ in range(n_local):
+                        samples.append(next(base_iter))
+                except StopIteration:
+                    return
+                yield PP.shard_batch(mesh, PP.stack_samples(samples))
+        loop_iter = batches()
+    else:
+        loop_iter = train_loader
+
     best_val = float("inf")
     step = start_step
     t0 = time.time()
     from ..utils import profiling as PROF
     ctx = PROF.trace_run(str(run / "trace"))   # active iff NKSR_PROFILE=1
     ctx.__enter__()
-    for batch in train_loader:
+    for batch in loop_iter:
         if step >= max_steps:
             break
         use_gt = rng.random() >= T.pd_structure_prob(tcfg, step)
         key = jax.random.PRNGKey(seed * 1000003 + step)
-        state, losses, _ = T.train_step(pcfg, tcfg, lcfg, state, batch,
-                                        key, use_gt_structure=use_gt)
+        if dp:
+            from .. import parallel as PP
+            rngs = jax.random.split(key, batch["xyz"].shape[0])
+            with mesh:
+                state, losses = PP.dp_train_step(
+                    pcfg, tcfg, lcfg, state, batch, rngs,
+                    use_gt_structure=use_gt)
+        else:
+            state, losses, _ = T.train_step(pcfg, tcfg, lcfg, state, batch,
+                                            key, use_gt_structure=use_gt)
         step = int(state.step)
         if step % 50 == 0 or step == start_step + 1:
             ls = {k: float(v) for k, v in losses.items()}
+            ls["lr"] = float(sched(step))   # per-step LR (reference
+            #                                 LearningRateMonitor analog)
+            ls["pd_struct_prob"] = T.pd_structure_prob(tcfg, step)
             dt = time.time() - t0
             print(f"[train {step}] sum={ls['sum']:.4f} "
                   f"({dt / max(step - start_step, 1):.2f}s/it)", flush=True)
@@ -178,6 +345,12 @@ def fit(cfg: Config, train_loader: Iterable, val_loader: Optional[Iterable],
                     for k in vals[0]} if vals else {}
             logger.log(step, mean, "val/")
             print(f"[val {step}] {json.dumps(mean)[:200]}", flush=True)
+            if log_mesh:
+                try:
+                    _log_val_mesh(logger, step, pcfg, state, val_loader)
+                except Exception as e:   # artifacts must never kill a run
+                    print(f"[val {step}] mesh artifact failed: {e}",
+                          flush=True)
             if mean.get("sum", float("inf")) < best_val:
                 best_val = mean["sum"]
                 CKPT.save_params(run / "best.ckpt", state)

@@ -118,6 +118,42 @@ class TestDatasetBase:
         # third pass wraps around to the first physical items
         assert comb[0]["i"] == 0
 
+    def test_combined_from_config_list(self, tmp_path):
+        """CombinedDataset builds its subsets from the YAML-friendly
+        config_list shape (reference configs/mixed/data.yaml)."""
+        from nksr_tpu.data.datasets import CombinedDataset
+        d = tmp_path / "s1" / "r1"
+        d.mkdir(parents=True)
+        pts = np.random.rand(30, 3).astype(np.float32)
+        np.savez(d / "full.npz", points=pts, normals=pts)
+        np.savez(d / "partial.npz", points=pts[:10], normals=pts[:10])
+        (tmp_path / "scenes_train.txt").write_text("s1\n")
+        spec = [DS.SHAPE_NAME, DS.INPUT_PC]
+        comb = CombinedDataset(spec=spec, config_list=[
+            {"name": "Matterport", "ratio": 1.0,
+             "args": {"root": str(tmp_path), "split": "train",
+                      "tv_ratio": 1.0}}])
+        assert len(comb) == 1
+        assert comb[0][DS.SHAPE_NAME] == "s1/r1"
+
+    def test_config_matrix_loads(self):
+        """Every experiment config in configs/** loads, resolves its
+        include chain and leaves no unresolved ${var} interpolation
+        (reference config system parity, SURVEY.md §5)."""
+        import glob
+        import json
+        from nksr_tpu.utils.config import load_config
+        paths = sorted(glob.glob("configs/**/*.yaml", recursive=True))
+        assert len(paths) >= 15
+        trains = 0
+        for p in paths:
+            cfg = load_config(p)
+            assert "${" not in json.dumps(cfg), p
+            if p.endswith("train.yaml") or "train_" in p:
+                trains += 1
+                assert "train_dataset" in cfg or "default" in p, p
+        assert trains >= 7
+
     def test_matterport_regions(self, tmp_path):
         from nksr_tpu.data.datasets import MatterportDataset
         for scene in ("sceneA", "sceneB"):
@@ -257,6 +293,77 @@ class TestMetricsAndNative:
         chk = jax.tree_util.tree_map(
             lambda a, b: np.allclose(a, b), params, back)
         assert all(jax.tree_util.tree_leaves(chk))
+
+    def test_reference_wheel_layout_import(self):
+        """Synthetic published-checkpoint fixture: wheel-style keys
+        ('interpolators.<d>.net.<i>.weight', 'sdf_decoder...', plus
+        encoder/unet tensors whose architecture differs) import into the
+        structurally-shared families by order+shape, and the rest is
+        reported skipped (utils/checkpoint.py REFERENCE_FAMILIES)."""
+        import jax
+        from nksr_tpu.models import pipeline as P
+        from nksr_tpu.recon.reconstructor import NetworkHandle
+        from nksr_tpu.utils.checkpoint import (
+            import_reference_state_dict, looks_like_reference_state_dict)
+
+        cfg = P.PipelineConfig(capacities=(512, 256), tree_depth=2,
+                               f_maps=8, basis_dim=8, udf_dim=8,
+                               interp_hidden=16, interp_layers=2,
+                               kernel_dim=4)
+        params = P.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(11)
+
+        def mlp_keys(prefix, sizes):
+            out = {}
+            for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
+                out[f"{prefix}.net.{2 * i}.weight"] = \
+                    rng.normal(size=(b, a)).astype(np.float32)
+                out[f"{prefix}.net.{2 * i}.bias"] = \
+                    rng.normal(size=(b,)).astype(np.float32)
+            return out
+
+        sd = {}
+        for d in range(2):  # interpolator input = 3 + basis_dim
+            sd.update(mlp_keys(f"interpolators.{d}", [11, 16, 16, 4]))
+        sd.update(mlp_keys("sdf_decoder", [8, 16, 16, 1]))
+        sd.update(mlp_keys("udf_decoder", [8, 16, 16, 1]))
+        # wheel families our re-design cannot transplant
+        sd["encoder.fc.weight"] = np.zeros((8, 4), np.float32)
+        sd["unet.enc.0.conv.weight"] = np.zeros((27, 8, 8), np.float32)
+        assert looks_like_reference_state_dict(sd)
+
+        new, report = import_reference_state_dict(sd, params)
+        assert report["interpolators"].startswith("mapped")
+        assert report["sdf_decoder"].startswith("mapped")
+        assert report["udf_decoder"].startswith("mapped")
+        assert report["unet"].startswith("skipped")
+        # order+shape mapping: interp_1's first Dense == fixture transposed
+        got = np.asarray(
+            new["params"]["interpolators"]["interp_1"]["Dense_0"]["kernel"])
+        np.testing.assert_allclose(
+            got, sd["interpolators.1.net.0.weight"].T)
+        got_b = np.asarray(
+            new["params"]["sdf_decoder"]["Dense_2"]["bias"])
+        np.testing.assert_allclose(got_b, sd["sdf_decoder.net.4.bias"])
+        # unet params untouched
+        chk = jax.tree_util.tree_map(
+            lambda a, b: np.allclose(a, b),
+            params["params"]["unet"], new["params"]["unet"])
+        assert all(jax.tree_util.tree_leaves(chk))
+
+        # the NetworkHandle entry point routes wheel layouts here
+        h = NetworkHandle(cfg, params)
+        h.load_state_dict(sd)
+        np.testing.assert_allclose(np.asarray(
+            h.params["params"]["interpolators"]["interp_1"]["Dense_0"]
+            ["kernel"]), sd["interpolators.1.net.0.weight"].T)
+
+        # layer-count mismatch is skipped loudly, not silently garbled
+        bad = dict(sd)
+        bad.pop("interpolators.1.net.4.weight")
+        bad.pop("interpolators.1.net.4.bias")
+        _, rep2 = import_reference_state_dict(bad, params)
+        assert rep2["interpolators"].startswith("skipped")
 
     def test_torch_state_dict_shim(self):
         import jax

@@ -326,6 +326,51 @@ class TestLatticeVsSparse:
         scale = np.abs(v_sp).mean() + 1e-6
         assert np.abs(v_lat - v_sp).mean() / scale < 0.02
 
+    def test_lattice_eval_matches_generic(self, monkeypatch):
+        """The lattice-native evaluator (fields/lattice_eval.py — dense
+        AV0/feature tables + one gather per query) must agree with the
+        generic host-support-table evaluation of the SAME solved field:
+        values/gradients to f32 noise, trust mask and extracted mesh
+        exactly."""
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=60,
+                               solver_tol=1e-6)
+        recon = Reconstructor(config=cfg)
+        xyz, nrm = sphere_points(1500, r=0.5, seed=7)
+        monkeypatch.setenv("NKSR_LATTICE", "1")
+        hf = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                               detail_level=None, structure="splat")
+        assert hf.lattice_ctx is not None
+        rng = np.random.default_rng(3)
+        probe = rng.uniform(-0.8, 0.8, (700, 3)).astype(np.float32)
+
+        v_ctx, m_ctx, g_ctx = hf.lattice_ctx.eval_batched(probe, grad=True)
+        ctx, hf.lattice_ctx = hf.lattice_ctx, None
+        try:
+            v_gen, g_gen = hf._eval_batched(probe, grad=True)
+            m_gen = hf._mask_host(probe)
+        finally:
+            hf.lattice_ctx = ctx
+
+        scale = np.abs(v_gen).max() + 1e-9
+        assert np.abs(v_ctx - v_gen).max() / scale < 1e-3
+        assert (m_ctx == m_gen).all()
+        gs = np.abs(g_gen).max() + 1e-9
+        assert np.abs(g_ctx - g_gen).max() / gs < 1e-3
+
+        # f_bar and the extracted mesh agree between the two paths
+        fb_ctx = hf.eval_fbar_batched(probe)
+        hf.lattice_ctx = None
+        try:
+            fb_gen = hf.eval_fbar_batched(probe)
+            m_gen_mesh = hf.extract_dual_mesh()
+        finally:
+            hf.lattice_ctx = ctx
+        np.testing.assert_allclose(fb_ctx, fb_gen, atol=1e-3 * scale)
+        m_ctx_mesh = hf.extract_dual_mesh()
+        assert m_ctx_mesh.v.shape == m_gen_mesh.v.shape
+        np.testing.assert_allclose(m_ctx_mesh.v, m_gen_mesh.v, atol=1e-4)
+
     def test_dual_formulation_smoke(self, monkeypatch):
         """The experimental dual (row-space Gram) solve runs and points
         the same way as the primal.  Exact agreement needs a stronger

@@ -71,6 +71,82 @@ class TestSDF:
         # positive outside-pointing convention: inside -> negative
         np.testing.assert_allclose(s, [-0.1, 0.12, -0.05], atol=0.03)
 
+    def test_vote_mode_sphere(self):
+        """Majority-vote SDF (reference ComputeSDFKernel semantics,
+        /root/reference/ext/sdfgen/sdf_from_points.cu:90-147): sign from
+        the plane-side vote, magnitude from the nearest neighbor."""
+        rng = np.random.default_rng(5)
+        v = rng.normal(size=(3000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        xyz = jnp.asarray(0.5 * v, jnp.float32)
+        nrm = jnp.asarray(v, jnp.float32)
+        q = jnp.asarray([[0, 0, 0.4], [0, 0, 0.62], [0.45, 0, 0],
+                         [0, 0, 0.56]], jnp.float32)
+        s, g = SDF.sdf_from_points(
+            q, xyz, nrm, jnp.ones(3000, bool), cell_size=0.15,
+            capacity=4096, imls=False, adaptive_knn=8, stdv=3.0,
+            compute_grad=True)
+        s, g = np.asarray(s), np.asarray(g)
+        # signs: inside negative, outside positive
+        assert s[0] < 0 and s[2] < 0
+        assert s[1] > 0 and s[3] > 0
+        np.testing.assert_allclose(s, [-0.1, 0.12, -0.05, 0.06],
+                                   atol=0.03)
+        # gradient points outward (+z for on-axis queries)
+        assert g[0, 2] > 0.9 and g[1, 2] > 0.9 and g[3, 2] > 0.9
+        assert g[2, 0] > 0.9
+
+    def test_vote_far_query_euclidean(self):
+        """Beyond stdv * ref_std of the nearest point, the magnitude is
+        the euclidean distance (sdf_from_points.cu:118-126)."""
+        xyz = jnp.asarray([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0],
+                           [0.0, 0.1, 0.0], [0.1, 0.1, 0.0]], jnp.float32)
+        nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                       (4, 1))
+        q = jnp.asarray([[0.05, 0.05, 0.25]], jnp.float32)
+        # tiny stdv -> adaptive radius can't reach the query -> euclidean
+        s = np.asarray(SDF.sdf_from_points(
+            q, xyz, nrm, jnp.ones(4, bool), cell_size=0.3, capacity=256,
+            imls=False, adaptive_knn=2, stdv=0.1, nb_points=4))
+        d_euclid = np.sqrt(0.05 ** 2 + 0.05 ** 2 + 0.25 ** 2)
+        np.testing.assert_allclose(s, [d_euclid], rtol=1e-4)
+        # large stdv -> plane distance
+        s2 = np.asarray(SDF.sdf_from_points(
+            q, xyz, nrm, jnp.ones(4, bool), cell_size=0.3, capacity=256,
+            imls=False, adaptive_knn=2, stdv=30.0, nb_points=4))
+        np.testing.assert_allclose(s2, [0.25], rtol=1e-4)
+
+    def test_imls_grad_and_fixed_sigma(self):
+        """IMLS gradient = weighted normal mean (sdf_from_points.cu:76-86);
+        fixed-sigma (reference-exact) path stays finite far away thanks to
+        the min-exponent subtraction."""
+        rng = np.random.default_rng(6)
+        v = rng.normal(size=(2000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        xyz = jnp.asarray(0.5 * v, jnp.float32)
+        nrm = jnp.asarray(v, jnp.float32)
+        q = jnp.asarray([[0, 0, 0.45], [0, 0, 0.55]], jnp.float32)
+        s, g = SDF.sdf_from_points(
+            q, xyz, nrm, jnp.ones(2000, bool), cell_size=0.15,
+            capacity=4096, adaptive_knn=0, stdv=0.05, compute_grad=True)
+        s, g = np.asarray(s), np.asarray(g)
+        assert np.isfinite(s).all() and np.isfinite(g).all()
+        np.testing.assert_allclose(s, [-0.05, 0.05], atol=0.02)
+        assert (g[:, 2] > 0.9).all()
+
+    def test_gt_geometry_vote_default(self):
+        """DensePointsGroundTruthGeometry uses the reference AV recipe
+        (vote mode, stdv=3, adaptive self-kNN radius) and returns
+        positive INSIDE (av_gt_geometry.py:63-78)."""
+        from nksr_tpu.data.gt_geometry import DensePointsGroundTruthGeometry
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=(3000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        g = DensePointsGroundTruthGeometry(0.5 * v, v, voxel_size=0.05)
+        s = np.asarray(g.query_sdf(np.asarray(
+            [[0, 0, 0.4], [0, 0, 0.6]], np.float32)))
+        np.testing.assert_allclose(s, [0.1, -0.1], atol=0.03)
+
 
 class TestGatherConv:
     def test_gather_conv_identity(self):

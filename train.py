@@ -29,9 +29,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--batch_size", type=int, default=None,
-                    help="data-parallel clouds per step (defaults to 1 "
-                         "per device when >1 device is available)")
+                    help="GLOBAL data-parallel clouds per step, sharded "
+                         "over all devices via parallel.dp_train_step "
+                         "(must divide the device count; default 1 = "
+                         "single-device step)")
     args = ap.parse_args()
+
+    # multi-host bootstrap FIRST (before any jax call): no-op unless
+    # NKSR_NUM_PROCESSES>1 (reference DDP analog, train.py:70-77)
+    from nksr_tpu.parallel import init_distributed
+    distributed = init_distributed()
 
     from nksr_tpu.utils.config import load_config, save_config
     from nksr_tpu.train import driver
@@ -54,7 +61,20 @@ def main():
                            **va.get("args", {}))
     pb = cfg.get("point_bucket")
     gb = cfg.get("gt_bucket")
-    train_loader = PrefetchLoader(train_ds, shuffle=True, seed=args.seed,
+    if args.batch_size and args.batch_size > 1 and (pb is None
+                                                    or gb is None):
+        # stacked DP batches need uniform shapes across samples
+        pb = pb or cfg.get("capacities", [65536])[0]
+        gb = gb or pb
+    indices = None
+    if distributed:
+        # per-process stride over the dataset (the reference's
+        # DistributedSampler analog; each rank reads a disjoint slice)
+        import jax
+        indices = range(jax.process_index(), len(train_ds),
+                        jax.process_count())
+    train_loader = PrefetchLoader(train_ds, indices=indices, shuffle=True,
+                                  seed=args.seed,
                                   point_bucket=pb, gt_bucket=gb,
                                   epochs=10 ** 6)
     val_loader = lambda: PrefetchLoader(
@@ -67,7 +87,8 @@ def main():
 
     driver.fit(cfg, train_loader, _Revalidating(), run_dir,
                max_steps=args.max_steps, val_every=args.val_every,
-               seed=args.seed, resume=args.resume)
+               seed=args.seed, resume=args.resume,
+               batch_size=args.batch_size)
 
 
 if __name__ == "__main__":
