@@ -1,16 +1,25 @@
-"""Reconstruction throughput benchmark (runs on the real TPU chip).
+"""Reconstruction benchmark (runs on the real TPU chip): honest
+points -> mesh, mirroring the reference claim being chased
+("reconstructing millions of points in a few seconds" on an RTX 3090,
+/root/reference/README.md:20; the user-visible recipe is
+reconstruct + extract_dual_mesh(mise_iter=1),
+/root/reference/examples/recons_simple.py:25-30).
 
-Baseline: the reference advertises "millions of points in a few seconds"
-on an RTX 3090 (/root/reference/README.md:20, BASELINE.md) — we take
-300k points/s end-to-end (1M pts in ~3.3 s) as the reference number.
+Baseline: 300k points/s end-to-end (1M pts in ~3.3 s).
+
+Primary metric: end-to-end points->mesh throughput on the splat
+structure (full surface shell — the representative workload that does
+not depend on training state).  The JSON line also reports the
+reconstruct-only split and, when a trained checkpoint is present
+(runs/synth_tpu/best.ckpt or NKSR_BENCH_CKPT), the predicted-structure
+path timing (the reference's default inference route).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pts/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "pts/s", "vs_baseline": N, ...}
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -34,6 +43,17 @@ def synthetic_scene(n: int, seed: int = 0):
     return xyz, nrm.astype(np.float32)
 
 
+def _time_once(recon, xyz, nrm, drain, structure, **kw):
+    """One full points->mesh pass; returns (t_recon, t_mesh, mesh)."""
+    t0 = time.perf_counter()
+    f = recon.reconstruct(xyz, nrm, structure=structure, **kw)
+    drain(f.alpha)
+    t1 = time.perf_counter()
+    m = f.extract_dual_mesh(mise_iter=1)
+    t2 = time.perf_counter()
+    return t1 - t0, t2 - t1, m
+
+
 def main():
     n = int(os.environ.get("NKSR_BENCH_N", 1_000_000))
     from nksr_tpu import Reconstructor
@@ -44,30 +64,67 @@ def main():
     # bf16 UNet convs (f32 accumulation) — MXU-native inference config
     recon = Reconstructor(config=PipelineConfig(conv_dtype="bfloat16"))
 
-    # structure='splat' keeps the full surface shell active — the
-    # representative (worst-case) workload independent of training state
     kw = dict(detail_level=None, voxel_size=0.1, solver_tol=1e-4,
-              solver_max_iters=32, structure="splat")
+              solver_max_iters=32)
 
     # warmup (compile).  NOTE: the barrier is a tiny device-to-host fetch
     # (utils.profiling.drain) — jax.block_until_ready does NOT wait for
     # execution on tunneled TPU platforms and would report dispatch time.
-    f = recon.reconstruct(xyz, nrm, **kw)
-    drain(f.alpha)
+    # The previous field must be dropped BEFORE re-reconstructing: its
+    # evaluator tables (~4 GB HBM at this scale) would otherwise stay
+    # live across the next solve.
+    _time_once(recon, xyz, nrm, drain, "splat", **kw)
 
-    t0 = time.perf_counter()
-    reps = 3
+    reps = int(os.environ.get("NKSR_BENCH_REPS", 2))
+    t_rec, t_mesh, n_verts = [], [], 0
     for _ in range(reps):
-        f = recon.reconstruct(xyz, nrm, **kw)
-        drain(f.alpha)
-    dt = (time.perf_counter() - t0) / reps
+        tr, tm, m = _time_once(recon, xyz, nrm, drain, "splat", **kw)
+        t_rec.append(tr)
+        t_mesh.append(tm)
+        n_verts = int(m.v.shape[0])
+        m = None
+    tr = min(t_rec)
+    tm = min(t_mesh)
+    total = tr + tm
 
-    pts_per_s = n / dt
+    extra = {}
+    ckpt = os.environ.get("NKSR_BENCH_CKPT", "runs/synth_tpu/best.ckpt")
+    if os.path.exists(ckpt):
+        # predicted-structure path (the reference default) with trained
+        # weights; sub-scale run keeps the added wall-clock bounded
+        try:
+            import jax
+            from nksr_tpu.train import loop as T
+            from nksr_tpu.utils import checkpoint as CKPT
+            state = T.init_state(recon.config, T.TrainConfig(),
+                                 jax.random.PRNGKey(0))
+            state = CKPT.load_params(ckpt, state)
+            rp = Reconstructor(config=recon.config, params=state.params)
+            np_ = min(n, 250_000)
+            rp.reconstruct(xyz[:np_], nrm[:np_], structure="predicted",
+                           **kw)  # warmup
+            t0 = time.perf_counter()
+            fp = rp.reconstruct(xyz[:np_], nrm[:np_],
+                                structure="predicted", **kw)
+            drain(fp.alpha)
+            mp = fp.extract_dual_mesh(mise_iter=1)
+            extra["predicted_pts_per_s"] = round(
+                np_ / (time.perf_counter() - t0), 1)
+            extra["predicted_n"] = np_
+        except Exception as e:   # never fail the bench over the extra
+            extra["predicted_error"] = str(e)[:120]
+
+    pts_per_s = n / total
     print(json.dumps({
-        "metric": "reconstruct_1m_scene_throughput",
+        "metric": "points_to_mesh_1m_scene_throughput",
         "value": round(pts_per_s, 1),
         "unit": "pts/s",
         "vs_baseline": round(pts_per_s / BASELINE_PTS_PER_S, 3),
+        "reconstruct_s": round(tr, 2),
+        "extract_mesh_s": round(tm, 2),
+        "mesh_verts": n_verts,
+        "reconstruct_only_pts_per_s": round(n / tr, 1),
+        **extra,
     }))
 
 

@@ -51,6 +51,10 @@ class LatticeEvalTables(NamedTuple):
     av0: jnp.ndarray                      # (cells_0, depth*8k) fused coeffs
     fc: Tuple[jnp.ndarray, ...]           # per depth (cells_d, 8*Cb)
     mask0: jnp.ndarray                    # (cells_0,) >0 where trusted
+    shell0: jnp.ndarray                   # (cells_0,) >0 on adaptive-depth
+    #                                       VOXELS (the extraction shell —
+    #                                       host_mc.extraction_lattice_host
+    #                                       semantics)
 
 
 @functools.lru_cache(maxsize=32)
@@ -59,7 +63,7 @@ def _prepare_fn(spec: LAT.LatticeSpec, cdt_str: str):
 
     def fn(basis_features, alphas, vox_cell, vox_active):
         k, depth = spec.k, spec.depth
-        xs, fc, mask_parts = [], [], []
+        xs, fc, mask_parts, occ_parts = [], [], [], []
         for d in range(depth):
             nc = spec.n_cells(d)
             cap = vox_cell[d].shape[0]
@@ -78,6 +82,7 @@ def _prepare_fn(spec: LAT.LatticeSpec, cdt_str: str):
             # any active corner -> the cell is inside this depth's support
             any_c = (LAT._corner_cat(ad, spec, d, 1) > 0).any(-1)
             mask_parts.append(any_c.astype(jnp.float32))
+            occ_parts.append(ad)
         av0 = LAT._av0_cascade(spec, tuple(xs), cdt)
         # union-of-support mask over ALL depths (LayerField semantics,
         # fields/neural_field.py LayerField.evaluate_mask)
@@ -86,7 +91,15 @@ def _prepare_fn(spec: LAT.LatticeSpec, cdt_str: str):
             up = LAT._upsample_to_0(mask_parts[d][:, None], spec, d,
                                     tuple(int(0) for _ in range(3)))
             mask0 = jnp.maximum(mask0, up[:, 0])
-        return LatticeEvalTables(av0=av0, fc=tuple(fc), mask0=mask0)
+        # extraction shell: union of adaptive-depth VOXEL occupancies
+        # (the mesher's extraction lattice, host_mc semantics)
+        shell0 = occ_parts[0]
+        for d in range(1, spec.adaptive_depth):
+            up = LAT._upsample_to_0(occ_parts[d][:, None], spec, d,
+                                    tuple(int(0) for _ in range(3)))
+            shell0 = jnp.maximum(shell0, up[:, 0])
+        return LatticeEvalTables(av0=av0, fc=tuple(fc), mask0=mask0,
+                                 shell0=shell0)
     return jax.jit(fn)
 
 

@@ -42,11 +42,14 @@ def extraction_lattice_host(host_grids, adaptive_depth: int,
                           + offs[None]).reshape(-1, 3))
     from ..native import merge_unique, sort_unique
     base = sort_unique(HB.pack64(np.concatenate(parts, 0)))
-    d6 = np.concatenate([np.eye(3, dtype=np.int64),
-                         -np.eye(3, dtype=np.int64),
-                         np.zeros((1, 3), np.int64)])
-    d6k = np.array([HB._offset_delta(o) for o in d6], np.int64)
-    return HB.unpack64(merge_unique(base, np.sort(d6k))).astype(np.int64)
+    # full 27-ring dilation: dual-MC quads reach diagonal voxels, so a
+    # face-only ring leaves rim crossings without their quad voxels
+    # (round-1 advisor finding; the dense device mesher uses the same
+    # ring, meshing/lattice_mc.py)
+    r = np.arange(-1, 2, dtype=np.int64)
+    d27 = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    d27k = np.sort(np.array([HB._offset_delta(o) for o in d27], np.int64))
+    return HB.unpack64(merge_unique(base, d27k)).astype(np.int64)
 
 
 def host_extract_dual_mesh(hf, mise_iter: int = 0,
@@ -102,12 +105,15 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
         field values, and the (V, 8) per-voxel corner value table."""
         corner_keys = merge_unique(vox_keys, corner_deltas)
         cc = HB.unpack64(corner_keys).astype(np.int64)
+        tm.lap(f"mc:   corner merge ({len(corner_keys)})")
         f_corner = np.asarray(
             eval_fbar((cc.astype(np.float32) - 0.5) * s), np.float32)
+        tm.lap("mc:   corner eval")
         cidx = HB._stencil_tables(corner_keys, corner_offs,
                                   base_keys=vox_keys)
         fvals = np.where(cidx >= 0, f_corner[np.maximum(cidx, 0)],
                          np.float32(-abs(s)))
+        tm.lap("mc:   stencil join")
         return corner_keys, cc, f_corner, fvals
 
     vox = vox.astype(np.int64)
@@ -146,51 +152,65 @@ def dual_mc_on_lattice(vox: np.ndarray, s: float, eval_fbar,
         # uniformly negative and add no crossings, just a few wasted
         # evals, while clipping would thin the sealed margin at the rim.
         ck = merge_unique(sort_unique(HB.pack64(vox[cross_v])), d27k)
-        grow = HB.unpack64(ck)
         # children over 2v+{-1,0,1}: under the centered-voxel convention
         # (voxel v spans [(v-.5)s,(v+.5)s]) the 8 children 2v+{0,1} tile
         # [(v-.25)s,(v+.75)s] — a quarter-cell shift that dropped quads
         # on parents' minus faces; the 27-child set covers
-        # [(v-.75)s,(v+.75)s], symmetric with half-a-parent margin
-        kids = (grow.astype(np.int64)[:, None, :] * 2
-                + d27[None]).reshape(-1, 3)
+        # [(v-.75)s,(v+.75)s], symmetric with half-a-parent margin.
+        # Generated KEY-SPACE: pack64 is per-axis bitfields, so doubling
+        # every axis is monotone and pack64(2v)+delta(o) enumerates the
+        # children of sorted parents as 27 sorted streams — two k-way
+        # merge-uniques replace a 29M-key sort (measured 35 s -> ~6 s of
+        # the 1M-point extract_dual_mesh host time).
+        kids_keys = merge_unique(HB.pack64(HB.unpack64(ck) * 2), d27k)
         # fine-level 27-ring dilation: dual-MC quads reach diagonal
         # voxels, so boundary quads need a full ring to stay sealed
-        vox_keys = merge_unique(sort_unique(HB.pack64(kids)), d27k)
+        vox_keys = merge_unique(kids_keys, d27k)
         vox = HB.unpack64(vox_keys).astype(np.int64)
         s *= 0.5
         tm.lap(f"mc: mise round ({len(vox)} vox)")
 
     neg_default = -abs(s)
-    vox_corners = vox[:, None, :] + corner_offs[None]      # (V, 8, 3)
     corner_keys, cc, f_corner, fvals = corner_fields(vox, vox_keys, s)
     tm.lap(f"mc: final corner fields ({len(corner_keys)} corners)")
 
     def corner_world(c):
         return ((c.astype(np.float32) - 0.5) * s)
 
-    # ---- dual vertices: mean of edge crossings
+    # ---- dual vertices: mean of edge crossings.  Computed ONLY for
+    # sign-crossing voxels (the only ones any quad can reference — quads
+    # need all 4 voxels around a sign-changing corner edge to cross);
+    # after MISE subdivision crossing voxels are ~10% of the lattice, and
+    # the Newton polish below evaluates gradients per vertex.
+    sign_vv = fvals > 0
+    crossing = sign_vv.any(1) & ~sign_vv.all(1)
+    ci = np.nonzero(crossing)[0]
+    centers = vox.astype(np.float32) * s
+    verts = centers.copy()
     ea, eb = _EDGES[:, 0], _EDGES[:, 1]
-    fa, fb = fvals[:, ea], fvals[:, eb]
+    fa, fb = fvals[ci][:, ea], fvals[ci][:, eb]
     cross = (fa > 0) != (fb > 0)
     t = fa / (fa - fb + 1e-20)
-    pa = corner_world(vox_corners[:, ea])
-    pb = corner_world(vox_corners[:, eb])
+    vc_ci = vox[ci][:, None, :] + corner_offs[None]        # (Ci, 8, 3)
+    pa = corner_world(vc_ci[:, ea])
+    pb = corner_world(vc_ci[:, eb])
     pc = pa + t[..., None] * (pb - pa)
     w = cross.astype(np.float32)
-    centers = vox.astype(np.float32) * s
     wsum = w.sum(1, keepdims=True)
-    verts = np.where(wsum > 0,
-                     (pc * w[..., None]).sum(1) / np.maximum(wsum, 1e-20),
-                     centers).astype(np.float32)
+    verts[ci] = np.where(
+        wsum > 0,
+        (pc * w[..., None]).sum(1) / np.maximum(wsum, 1e-20),
+        centers[ci]).astype(np.float32)
 
+    tm.lap(f"mc: dual vertices ({len(ci)} crossing)")
     # ---- one Newton polish toward the zero set (post-subdivision)
-    if eval_grad is not None and int(mise_iter) > 0:
-        v, g = eval_grad(verts)
+    if eval_grad is not None and int(mise_iter) > 0 and len(ci):
+        v, g = eval_grad(verts[ci])
         step = v[:, None] * g / (np.sum(g * g, 1, keepdims=True) + 1e-12)
-        verts = verts - np.clip(step, -0.5 * s, 0.5 * s)
-        verts = np.clip(verts, centers - 0.5 * s, centers + 0.5 * s)
-    tm.lap("mc: vertices + newton")
+        nv = verts[ci] - np.clip(step, -0.5 * s, 0.5 * s)
+        verts[ci] = np.clip(nv, centers[ci] - 0.5 * s,
+                            centers[ci] + 0.5 * s)
+    tm.lap("mc: newton")
 
     # ---- quads over sign-changing corner edges
     tris = []

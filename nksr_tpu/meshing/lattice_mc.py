@@ -1,0 +1,334 @@
+"""Dense-lattice dual marching cubes: the topology half on DEVICE.
+
+The host mesher (meshing/host_mc.py) extracts topology with sorted-key
+joins (corner merges, stencil joins, 27-child MISE expansion) — measured
+~30-55 s of single-core host time at 1M-point bench scale even after the
+native k-way merges.  For fields solved on the dense lattice
+(fields/lattice.py + fields/lattice_eval.py) none of that is necessary:
+on a dense fine grid every structure op is a SHIFT —
+
+  * candidate cells   = upsampled trust shell, dilated one ring;
+  * corner values     = one compacted field-evaluation wave scattered
+                        into a dense corner buffer (missing corners read
+                        the sealed default -s, exactly the host path's
+                        neg_default);
+  * crossing cells    = 8 shifted sign reads;
+  * dual vertices     = edge-crossing means at compacted crossing cells;
+  * quads             = sign changes along +x/+y/+z corner edges whose 4
+                        surrounding cells all cross; vertex ids come from
+                        a dense rank (cumsum) buffer.
+
+Device work is a few streaming passes over the fine grid plus the same
+field-evaluation wave the host path needs; host work drops to reshaping
+the returned vertex/quad arrays.  Equivalence with the host mesher is
+pinned by tests/test_meshing.py::test_dense_matches_host.
+
+Reference contract: ``field.extract_dual_mesh(mise_iter, grid_upsample)``
+(/root/reference/NKSR-USAGE.md:77, models/nksr_net.py:214,284).
+``mise_iter`` rounds multiply the extraction resolution by 2 (the
+hierarchical-MISE semantics); on the dense path the candidate shell is
+already tight, so refinement is direct rather than round-by-round.
+Falls back to the host mesher when the fine grid exceeds the dense
+budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .dual_mc import TriangleMesh
+
+# cells around an a-axis corner edge, in quad winding order
+# (= host_mc._QUAD_VOX_OFFS; cells are corner - off)
+_QUAD_VOX_OFFS = np.array([
+    [[0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]],   # x-edge
+    [[0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]],   # y-edge
+    [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],   # z-edge
+], dtype=np.int64)
+
+_CORNER_OFFS = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
+                        -1).reshape(8, 3)
+_EDGES = np.array([[a, b] for a in range(8) for b in range(a + 1, 8)
+                   if bin(a ^ b).count("1") == 1], np.int64)
+
+DENSE_CELL_BUDGET = 140_000_000
+
+
+def _shift(a: jnp.ndarray, d: Tuple[int, int, int], fill):
+    """Static shift with fill: out[i] = a[i + d] (reads beyond -> fill)."""
+    out = a
+    for ax, s in enumerate(d):
+        if s == 0:
+            continue
+        n = out.shape[ax]
+        pad = [(0, 0)] * out.ndim
+        if s > 0:
+            sl = [slice(None)] * out.ndim
+            sl[ax] = slice(s, None)
+            pad[ax] = (0, s)
+        else:
+            sl = [slice(None)] * out.ndim
+            sl[ax] = slice(0, n + s)
+            pad[ax] = (-s, 0)
+        out = jnp.pad(out[tuple(sl)], pad, constant_values=fill)
+    return out
+
+
+def _next_cap(n: int, lo: int = 4096) -> int:
+    n = max(int(n), lo)
+    k = int(np.ceil(np.log2(n)))
+    c15 = 3 << (k - 2)
+    return c15 if c15 >= n else 1 << k
+
+
+@functools.lru_cache(maxsize=16)
+def _candidate_fn(spec, f: int):
+    """jit 1: candidate-cell mask + corner count (dense shifts only)."""
+    X, Y, Z = spec.dims[0]
+
+    def fn(mask0):
+        shell = (mask0 > 0).reshape(X, Y, Z)
+        m = jnp.repeat(jnp.repeat(jnp.repeat(shell, f, 0), f, 1), f, 2)
+        # one-ring dilation so rim quads stay sealed (host path analog)
+        dil = m
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if dx or dy or dz:
+                        dil = dil | _shift(m, (dx, dy, dz), False)
+        # corner grid ((Xf+1)^3): corner c is used by cells c-offs
+        cg = jnp.zeros((X * f + 1, Y * f + 1, Z * f + 1), bool)
+        cg = cg.at[:-1, :-1, :-1].set(dil)
+        corner = cg
+        for o in _CORNER_OFFS[1:]:
+            corner = corner | _shift(cg, tuple(-int(v) for v in o), False)
+        return dil, corner, jnp.sum(corner)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _corner_eval_fn(spec, f: int, cap_c: int, voxel_size: float,
+                    compute_dtype: str, approx_grad: bool):
+    """jit 2: compact candidate corners, evaluate f_bar there, scatter
+    into the dense corner-value buffer (default -s everywhere else)."""
+    from ..fields.lattice_eval import _eval_fn
+    X, Y, Z = spec.dims[0]
+    Xc, Yc, Zc = X * f + 1, Y * f + 1, Z * f + 1
+    s_f = voxel_size / f
+
+    def fn(interp_params, tables, origins, corner_mask):
+        flat = corner_mask.reshape(-1)
+        rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
+        ids = jnp.full((cap_c,), 0, jnp.int32)
+        ids = ids.at[jnp.where(flat, rank, cap_c)].set(
+            jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
+        # corner world position: fine lattice shares the depth-0 frame
+        # scaled by f; local corner index -> world fine coord -> world
+        cw = jnp.stack([ids // (Yc * Zc), (ids // Zc) % Yc, ids % Zc], -1)
+        cw = cw + origins[0][None, :] * f
+        pos = (cw.astype(jnp.float32) - 0.5) * s_f
+        ev = _eval_fn(spec, voxel_size, False, approx_grad, cap_c)
+        # _eval_fn is a jit; calling inside jit just inlines the graph
+        val, mask = ev(interp_params, tables, origins, pos)
+        fbar = jnp.where(mask, val, -voxel_size).astype(jnp.float32)
+        v_dense = jnp.full((Xc * Yc * Zc,), -abs(s_f), jnp.float32)
+        n_live = jnp.sum(flat.astype(jnp.int32))
+        live = jnp.arange(cap_c) < n_live
+        v_dense = v_dense.at[jnp.where(live, ids, Xc * Yc * Zc)].set(
+            jnp.where(live, fbar, 0.0), mode="drop")
+        return v_dense.reshape(Xc, Yc, Zc)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
+    """jit 3: crossing cells, dual vertices, quad lists — dense shifts +
+    compactions, no joins."""
+    X, Y, Z = spec.dims[0]
+    Xf, Yf, Zf = X * f, Y * f, Z * f
+    s_f = voxel_size / f
+    offs = _CORNER_OFFS
+    ea, eb = _EDGES[:, 0], _EDGES[:, 1]
+
+    def fn(v_dense, cand, origins):
+        S = v_dense > 0
+        # per-cell corner-sign aggregation via 8 shifted reads
+        any_pos = jnp.zeros((Xf, Yf, Zf), bool)
+        all_pos = jnp.ones((Xf, Yf, Zf), bool)
+        for o in offs:
+            so = S[int(o[0]):, int(o[1]):, int(o[2]):][:Xf, :Yf, :Zf]
+            any_pos = any_pos | so
+            all_pos = all_pos & so
+        cross = any_pos & ~all_pos & cand
+        flatc = cross.reshape(-1)
+        rank = jnp.cumsum(flatc.astype(jnp.int32)) - 1       # 0-based
+        n_verts = jnp.sum(flatc.astype(jnp.int32))
+
+        # compacted crossing-cell ids
+        cid = jnp.zeros((cap_v,), jnp.int32)
+        cid = cid.at[jnp.where(flatc, rank, cap_v)].set(
+            jnp.arange(flatc.shape[0], dtype=jnp.int32), mode="drop")
+        cc = jnp.stack([cid // (Yf * Zf), (cid // Zf) % Yf, cid % Zf], -1)
+
+        # 8 corner values per compacted cell (static strides on the
+        # corner grid)
+        Yc, Zc = Yf + 1, Zf + 1
+        cflat = (cc[:, 0] * Yc + cc[:, 1]) * Zc + cc[:, 2]
+        vflat = v_dense.reshape(-1)
+        fv = jnp.stack(
+            [jnp.take(vflat, cflat + (int(o[0]) * Yc + int(o[1])) * Zc
+                      + int(o[2])) for o in offs], -1)      # (cap_v, 8)
+
+        cw = cc + origins[0][None, :] * f                   # world cell
+        corner_w = (cw[:, None, :] + offs[None]).astype(jnp.float32)
+        corner_pos = (corner_w - 0.5) * s_f
+        fa, fb = fv[:, ea], fv[:, eb]
+        ecross = (fa > 0) != (fb > 0)
+        t = fa / (fa - fb + 1e-20)
+        pa = corner_pos[:, ea]
+        pb = corner_pos[:, eb]
+        pc = pa + t[..., None] * (pb - pa)
+        w = ecross.astype(jnp.float32)
+        wsum = jnp.sum(w, 1, keepdims=True)
+        centers = cw.astype(jnp.float32) * s_f
+        verts = jnp.where(wsum > 0,
+                          jnp.sum(pc * w[..., None], 1)
+                          / jnp.maximum(wsum, 1e-20), centers)
+        vcenters = centers
+
+        # quads: sign change along +a corner edges with all 4 cells
+        # crossing.  Work on the corner grid; cells = corner - off.
+        quads, flips = [], []
+        crossf = cross  # (Xf, Yf, Zf)
+        rank3 = rank.reshape(Xf, Yf, Zf)
+        for a in range(3):
+            e = tuple(int(v) for v in np.eye(3, dtype=int)[a])
+            change = S != _shift(S, e, False)
+            # drop the last corner plane along a (no +a neighbor corner)
+            valid = jnp.ones_like(S)
+            sl = [slice(None)] * 3
+            sl[a] = slice(-1, None)
+            valid = valid.at[tuple(sl)].set(False)
+            ok4 = jnp.ones((Xf + 1, Yf + 1, Zf + 1), bool)
+            rid4 = []
+            for off in _QUAD_VOX_OFFS[a]:
+                # cell (corner - off) must be a crossing cell; gather its
+                # rank.  On the corner grid the read is a shift by -off
+                # of the cell grids padded to corner-grid size.
+                cpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), bool)
+                cpad = cpad.at[:-1, :-1, :-1].set(crossf)
+                rpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), jnp.int32)
+                rpad = rpad.at[:-1, :-1, :-1].set(rank3)
+                d = tuple(-int(v) for v in off)
+                ok4 = ok4 & _shift(cpad, d, False)
+                rid4.append(_shift(rpad, d, 0))
+            qmask = (change & valid & ok4).reshape(-1)
+            qrank = jnp.cumsum(qmask.astype(jnp.int32)) - 1
+            nq = jnp.sum(qmask.astype(jnp.int32))
+            qid = jnp.zeros((cap_q,), jnp.int32)
+            qid = qid.at[jnp.where(qmask, qrank, cap_q)].set(
+                jnp.arange(qmask.shape[0], dtype=jnp.int32), mode="drop")
+            live = jnp.arange(cap_q) < nq
+            vids = jnp.stack([jnp.take(r.reshape(-1), qid)
+                              for r in rid4], -1)           # (cap_q, 4)
+            flip = ~jnp.take(S.reshape(-1), qid)
+            quads.append(jnp.where(live[:, None], vids, -1))
+            flips.append(flip & live)
+        return (verts, vcenters, n_verts, jnp.stack(quads),
+                jnp.stack(flips))
+    return jax.jit(fn)
+
+
+def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
+                            texture=None) -> Optional[TriangleMesh]:
+    """Dense-lattice extraction; returns None when inapplicable (no
+    lattice context / fine grid over budget) so callers fall back."""
+    ctx = getattr(hf, "lattice_ctx", None)
+    if ctx is None:
+        return None
+    # the UDF mask head is evaluated per query on the generic path; the
+    # dense seal below uses the lattice trust mask only
+    mf = getattr(hf.field, "mask_field", None)
+    if getattr(hf, "udf_host", None) is not None and mf is not None \
+            and hasattr(mf, "level_set"):
+        return None
+    spec = ctx.spec
+    f = max(int(grid_upsample), 1) * (2 ** max(int(mise_iter), 0))
+    X, Y, Z = spec.dims[0]
+    if X * Y * Z * f ** 3 > DENSE_CELL_BUDGET:
+        return None
+
+    from ..recon.host_predicted import _Timer
+    tm = _Timer()
+    tables = ctx.tables()
+    origins = jnp.asarray(ctx.origins.astype(np.int32))
+
+    cand, corner_mask, n_c = _candidate_fn(spec, f)(tables.shell0)
+    cap_c = _next_cap(int(n_c))
+    tm.lap(f"dmc: candidates ({int(n_c)} corners)")
+
+    v_dense = _corner_eval_fn(spec, f, cap_c, ctx.voxel_size,
+                              ctx.compute_dtype, ctx.approx_grad)(
+        ctx.interp_params, tables, origins, corner_mask)
+    tm.lap("dmc: corner eval")
+
+    # crossing count for capacity planning (cheap dense reduction)
+    cap_v = _next_cap(cap_c // 4)
+    cap_q = _next_cap(cap_c // 4)
+    verts, centers, n_verts, quads, flips = _topology_fn(
+        spec, f, cap_v, cap_q, ctx.voxel_size)(v_dense, cand, origins)
+    nv = int(n_verts)
+    if nv > cap_v:
+        verts, centers, n_verts, quads, flips = _topology_fn(
+            spec, f, _next_cap(nv), _next_cap(4 * nv),
+            ctx.voxel_size)(v_dense, cand, origins)
+        nv = int(n_verts)
+    verts = np.asarray(verts)[:nv]
+    centers = np.asarray(centers)[:nv]
+    quads = np.asarray(quads)
+    flips = np.asarray(flips)
+    tm.lap(f"dmc: topology ({nv} verts)")
+
+    # ---- newton polish toward the zero set (as the host path does when
+    # refining; one gradient wave through the shared evaluator), clipped
+    # to the dual cell box exactly like host_mc
+    if mise_iter > 0 and nv:
+        s_f = ctx.voxel_size / f
+        v, _, g = ctx.eval_batched(verts, grad=True)
+        step = v[:, None] * g / (np.sum(g * g, 1, keepdims=True) + 1e-12)
+        verts = verts - np.clip(step, -0.5 * s_f, 0.5 * s_f)
+        verts = np.clip(verts, centers - 0.5 * s_f, centers + 0.5 * s_f)
+    tm.lap("dmc: newton")
+
+    tris = []
+    for a in range(3):
+        keep = (quads[a] >= 0).all(1)
+        q = quads[a][keep]
+        fl = flips[a][keep]
+        q = np.where(fl[:, None], q[:, ::-1], q)
+        tris.append(q[:, [0, 1, 2]])
+        tris.append(q[:, [0, 2, 3]])
+    fcs = np.concatenate(tris, 0).astype(np.int32) if tris else \
+        np.zeros((0, 3), np.int32)
+
+    # drop unreferenced vertices (crossing cells without quads)
+    if len(fcs):
+        used, inv = np.unique(fcs.reshape(-1), return_inverse=True)
+        verts = verts[used]
+        fcs = inv.reshape(-1, 3).astype(np.int32)
+    else:
+        verts = verts[:0]
+
+    colors = None
+    tex = texture if texture is not None else \
+        getattr(hf.field, "texture_field", None)
+    if tex is not None and len(verts):
+        colors = np.asarray(tex.evaluate_f(jnp.asarray(verts)).value)
+    tm.lap("dmc: assemble")
+    return TriangleMesh(v=np.asarray(verts, np.float32), f=fcs, c=colors)

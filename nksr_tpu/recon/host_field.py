@@ -141,6 +141,15 @@ class HostField:
     # ------------------------------------------------------------- meshing
     def extract_dual_mesh(self, mise_iter: int = 0, grid_upsample: int = 1,
                           max_points: Optional[int] = None) -> TriangleMesh:
+        import os
+        if os.environ.get("NKSR_DENSE_MC", "1") == "1":
+            # dense-lattice dual MC: topology on device as shifts +
+            # compactions (meshing/lattice_mc.py); None -> inapplicable
+            from ..meshing.lattice_mc import extract_dual_mesh_dense
+            m = extract_dual_mesh_dense(self, mise_iter=mise_iter,
+                                        grid_upsample=grid_upsample)
+            if m is not None:
+                return m
         from ..meshing.host_mc import host_extract_dual_mesh
         return host_extract_dual_mesh(self, mise_iter=mise_iter,
                                       grid_upsample=grid_upsample)

@@ -358,7 +358,9 @@ class TestLatticeVsSparse:
         gs = np.abs(g_gen).max() + 1e-9
         assert np.abs(g_ctx - g_gen).max() / gs < 1e-3
 
-        # f_bar and the extracted mesh agree between the two paths
+        # f_bar and the extracted HOST-path mesh agree between the two
+        # evaluators (dense-MC parity is tested in test_meshing.py)
+        monkeypatch.setenv("NKSR_DENSE_MC", "0")
         fb_ctx = hf.eval_fbar_batched(probe)
         hf.lattice_ctx = None
         try:

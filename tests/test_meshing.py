@@ -68,3 +68,53 @@ class TestDualMC:
         u2 = np.unique(m2.f)
         r = np.linalg.norm(m2.v[u2], axis=1)
         assert np.abs(r - 0.5).mean() < 0.04
+
+
+class TestDenseLatticeMC:
+    @pytest.mark.parametrize("mise_iter", [0, 1])
+    def test_dense_matches_host(self, mise_iter, monkeypatch):
+        """The device dual-MC (meshing/lattice_mc.py — dense shifts +
+        compactions) must produce the SAME mesh as the host sorted-key
+        mesher on a lattice-solved field: identical vertex/face counts
+        and identical vertex SETS (orders differ: flat-index vs key
+        order)."""
+        from nksr_tpu import Reconstructor
+        from nksr_tpu.models import pipeline as P
+
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=60,
+                               solver_tol=1e-6)
+        recon = Reconstructor(config=cfg)
+        xyz, nrm = sphere_points(1500, r=0.5, seed=9)
+        monkeypatch.setenv("NKSR_LATTICE", "1")
+        hf = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                               detail_level=None, structure="splat")
+        assert hf.lattice_ctx is not None
+
+        monkeypatch.setenv("NKSR_DENSE_MC", "1")
+        md = hf.extract_dual_mesh(mise_iter=mise_iter)
+        monkeypatch.setenv("NKSR_DENSE_MC", "0")
+        mh = hf.extract_dual_mesh(mise_iter=mise_iter)
+
+        assert md.v.shape == mh.v.shape, (md.v.shape, mh.v.shape)
+        assert md.f.shape == mh.f.shape
+        # same vertex SET — matched by nearest neighbor (vertex ORDER
+        # differs between the two paths, and last-ulp field-eval noise
+        # makes a lexsort comparison brittle for near-tied coordinates)
+        from scipy.spatial import cKDTree
+        d1, _ = cKDTree(mh.v).query(md.v)
+        d2, _ = cKDTree(md.v).query(mh.v)
+        assert d1.max() < 1e-4 and d2.max() < 1e-4, (d1.max(), d2.max())
+        # same surface: watertightness preserved
+        edges = np.sort(np.concatenate(
+            [md.f[:, [0, 1]], md.f[:, [1, 2]], md.f[:, [2, 0]]]), axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).mean() > 0.99
+
+    def test_dense_bails_out_over_budget(self, monkeypatch):
+        from nksr_tpu.meshing import lattice_mc as LM
+        monkeypatch.setattr(LM, "DENSE_CELL_BUDGET", 10)
+
+        class Fake:
+            lattice_ctx = None
+        assert LM.extract_dual_mesh_dense(Fake()) is None

@@ -92,7 +92,96 @@ class TestDataParallel:
                                    float(losses_1["sum"]), rtol=1e-4)
 
 
-class TestHaloExchange:
+class TestShardedLattice:
+    def test_sharded_solve_matches_single_device(self):
+        """ONE lattice sharded into x-slabs across the mesh, kernel-
+        support halos ppermuted per CG iteration, CG dots psum'd — the
+        sharded solve must reproduce the single-device lattice solve on
+        the SAME (aligned) plan to solver tolerance, with NO geometric
+        halo duplication (parallel/lattice_shard.py; SURVEY §5 north
+        star, reference chunked-engine analog NKSR-USAGE.md:88-126)."""
+        import jax.numpy as jnp
+        from nksr_tpu.core import host_build as HB
+        from nksr_tpu.fields import lattice as LAT
+        from nksr_tpu.fields.support import InterpolatorFn
+        from nksr_tpu.models.network import Interpolators
+        from nksr_tpu.parallel import lattice_shard as LS
+
+        n_dev = len(jax.devices())
+        mesh = PP.make_mesh(n_dev)
+        rng = np.random.default_rng(5)
+        # an x-elongated wavy sheet so every slab owns real work
+        n = 4000
+        xy = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        x = xy[:, 0] * 6.0
+        z = 0.3 * np.sin(2.0 * x) * np.cos(3.0 * xy[:, 1])
+        xyz = np.stack([x, xy[:, 1], z], 1).astype(np.float32)
+        nrm = np.tile(np.array([[0, 0, 1]], np.float32), (n, 1))
+
+        vs, depth, adaptive_depth, k, cb = 0.1, 3, 1, 4, 8
+        grids, orders = HB.build_splat_grids_ex(xyz, vs, depth)
+        caps = tuple(1 << int(np.ceil(np.log2(len(g.keys) * 1.1)))
+                     for g in grids)
+
+        out = LS.plan_sharded(grids, caps, xyz, orders[0][0], orders[0][1],
+                              vs, depth, adaptive_depth, n_dev, k=k)
+        assert out is not None
+        plan, splan = out
+        spec = plan.spec
+        assert spec.dims[0][0] % n_dev == 0
+
+        key = jax.random.PRNGKey(0)
+        mod = Interpolators(depth=depth, kernel_dim=k)
+        params = mod.init(key, jnp.zeros((1, 3)), jnp.zeros((1, cb)))
+        interp = InterpolatorFn(params=params, module=mod)
+        basis = tuple(
+            0.05 * np.asarray(jax.random.normal(
+                jax.random.fold_in(key, d), (caps[d], cb)))
+            for d in range(depth))
+        s_gr = spec.s_gr
+        gr_targets = 0.5 * rng.normal(size=(s_gr, 3)).astype(np.float32)
+
+        kw = dict(voxel_size=vs, pos_weight=1e4, normal_weight=1e4,
+                  reg_weight=1.0, tol=1e-9, max_iters=200,
+                  approx_grad=False)
+
+        # ---- single-device reference on the SAME aligned plan
+        ncap = spec.n_pts_cap
+        xs = np.zeros((ncap, 3), np.float32)
+        xs[:n] = xyz[plan.pt_perm]
+        ms = np.zeros(ncap, bool)
+        ms[:n] = True
+        c0 = np.zeros((ncap, 3), np.int32)
+        c0[:n] = plan.pt_cell0
+        dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
+        dest[:n] = plan.pt_dest
+        ref = LAT.lattice_solve(
+            spec, interp, tuple(jnp.asarray(b) for b in basis),
+            jnp.asarray(xs), jnp.asarray(ms), jnp.asarray(c0),
+            jnp.asarray(dest), jnp.asarray(plan.slot_cell_pt),
+            jnp.asarray(plan.slot_cell_gr),
+            jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
+            jnp.asarray(plan.gr_active), jnp.asarray(gr_targets),
+            tuple(jnp.asarray(v) for v in plan.vox_cell),
+            tuple(jnp.asarray(v) for v in plan.vox_active),
+            slot_cell0_pt=jnp.asarray(plan.slot_cell0_pt),
+            slot_cell0_gr=jnp.asarray(plan.slot_cell0_gr),
+            gr_perm=jnp.asarray(plan.gr_perm), **kw)
+        ref = [np.asarray(a) for a in ref]
+
+        # ---- sharded solve
+        with mesh:
+            parts = LS.sharded_lattice_solve(
+                mesh, splan, params["params"],
+                tuple(jnp.asarray(b) for b in basis),
+                jnp.asarray(gr_targets), **kw)
+        got = LS.gather_alphas(plan, splan, parts)
+
+        scale = max(float(np.abs(np.concatenate(ref)).max()), 1e-9)
+        for d in range(depth):
+            np.testing.assert_allclose(got[d], ref[d],
+                                       atol=5e-3 * scale,
+                                       err_msg=f"depth {d}")
     def test_halo_ring(self):
         from jax.sharding import PartitionSpec as PS
         from nksr_tpu.parallel.spatial import halo_exchange_1d
