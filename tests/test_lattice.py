@@ -296,6 +296,7 @@ class TestPlan:
 
 
 class TestLatticeVsSparse:
+    @pytest.mark.slow
     @pytest.mark.parametrize("approx_grad", [False, True])
     def test_field_values_match_sparse(self, approx_grad, monkeypatch):
         """Same weights + hierarchy, lattice vs sparse solve: the two

@@ -68,6 +68,7 @@ class TestDataParallel:
             st.params, state.params)
         assert sum(jax.tree_util.tree_leaves(d)) > 0
 
+    @pytest.mark.slow
     def test_dp_matches_single_device_mean(self):
         """The DP gradient must equal the mean of per-sample gradients."""
         n_dev = len(jax.devices())
@@ -93,6 +94,7 @@ class TestDataParallel:
 
 
 class TestShardedLattice:
+    @pytest.mark.slow
     def test_sharded_solve_matches_single_device(self):
         """ONE lattice sharded into x-slabs across the mesh, kernel-
         support halos ppermuted per CG iteration, CG dots psum'd — the
@@ -223,6 +225,7 @@ class TestSpatialSharding:
 
 
 class TestShardedChunks:
+    @pytest.mark.slow
     def test_sharded_chunks_match_serial(self):
         """Mesh-sharded chunk reconstruction == the serial chunk loop
         (same host chunker + sort-free forward, different execution)."""

@@ -35,6 +35,7 @@ def make_batch(n=1500, seed=0):
 
 
 class TestPipeline:
+    @pytest.mark.slow
     def test_forward_predicted_structure(self, params):
         xyz, nrm, mask = make_batch()
         out = P.forward(CFG, params, xyz, mask, nrm)
@@ -60,6 +61,7 @@ class TestPipeline:
         v = np.asarray(out.field.evaluate_f_bar(jnp.zeros((1, 3))))
         assert np.isfinite(v).all()
 
+    @pytest.mark.slow
     def test_forward_jits_and_caches(self, params):
         xyz, nrm, mask = make_batch()
         fwd = jax.jit(lambda p, x, m, f: P.forward(CFG, p, x, m, f,
@@ -70,6 +72,7 @@ class TestPipeline:
         assert np.isfinite(
             np.asarray(out2.field.evaluate_f(xyz2[:10]).value)).all()
 
+    @pytest.mark.slow
     def test_gradients_flow_end_to_end(self, params):
         xyz, nrm, mask = make_batch(n=400)
         gt_svh = P.build_gt_svh(CFG, xyz, mask, nrm)

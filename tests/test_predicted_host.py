@@ -109,6 +109,7 @@ def test_udf_mask_parity(setup):
     np.testing.assert_allclose(fb_host, fb_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_adaptive_depth2_parity(setup):
     """adaptive_depth=2 (the scene-model config, e.g. reference
     configs/carla/train.yaml:6) through the host path."""

@@ -29,6 +29,7 @@ class TestReconstructor:
         r = np.linalg.norm(mesh.v[used], axis=1)
         assert np.abs(r - 0.5).mean() < 0.06
 
+    @pytest.mark.slow
     def test_detail_level_changes_voxel_size(self, recon):
         xyz, nrm = sphere_points(2000, r=0.5, seed=22)
         f_coarse = recon.reconstruct(xyz, nrm, detail_level=0.0,

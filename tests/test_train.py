@@ -42,6 +42,7 @@ def make_batch(n=800, seed=0):
 
 
 class TestLosses:
+    @pytest.mark.slow
     def test_losses_finite(self):
         state = T.init_state(CFG, TC, jax.random.PRNGKey(0))
         batch = make_batch()
@@ -108,6 +109,7 @@ class TestRunLogger:
 
 
 class TestFitDP:
+    @pytest.mark.slow
     def test_fit_routes_batch_size_through_dp(self, tmp_path):
         """driver.fit(batch_size=N) stacks N clouds, shards them over the
         device mesh and steps through parallel.dp_train_step — the
@@ -157,6 +159,7 @@ class TestFitDP:
 
 
 class TestOverfit:
+    @pytest.mark.slow
     def test_overfit_sphere_converges(self):
         state = T.init_state(CFG, TC, jax.random.PRNGKey(0))
         batch = make_batch()
@@ -171,6 +174,7 @@ class TestOverfit:
         assert np.isfinite(last3)
         assert last3 < 0.85 * first3, f"no convergence: {hist}"
 
+    @pytest.mark.slow
     def test_val_step(self):
         state = T.init_state(CFG, TC, jax.random.PRNGKey(0))
         batch = make_batch(seed=2)
