@@ -101,6 +101,19 @@ def _compiled_structure(cfg: P.PipelineConfig):
 
 
 @functools.lru_cache(maxsize=32)
+def _compiled_dense_unet(cfg: P.PipelineConfig, spec):
+    """Dense conv3d UNet over the solve lattice (models/dense_unet.py):
+    zero gathers in the convolutions — replaces _compiled_structure on
+    the lattice path when NKSR_DENSE_UNET=1."""
+    from ..models import dense_unet as DU
+
+    def fn(params, origins, tables, xyz, feat, mask):
+        return DU.dense_unet_apply(cfg, params, spec, origins, tables,
+                                   xyz, feat, mask)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
 def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key):
     """Dense-lattice kernel solve (fields/lattice.py) + mask attachment.
 
@@ -373,30 +386,9 @@ class Reconstructor:
         enc_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
         gt_svh = enc_svh if dec_grids is grids else \
             HB.to_device_svh(dec_grids, dec_caps, cfg.voxel_size)
-        tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
-        tm.lap("unet tables")
         n, cap_pts = xyz.shape[0], xyz_p.shape[0]
         pad8 = np.full((cap_pts - n, 8), -1, np.int32)
-        splat0 = HB.support_indices(grids[:1], caps[:1], xyz,
-                                    presorted=orders[:1])[0]
-        splat_idx = np.concatenate([splat0, pad8])
 
-        # dispatch the network NOW (async) — the device runs it while the
-        # host builds the solve's support tables below
-        out, dec_svh, udf_svh = _compiled_structure(cfg)(
-            self.network.params, jnp.asarray(xyz_p), jnp.asarray(mask),
-            feat, enc_svh, gt_svh, tables, jnp.asarray(splat_idx))
-        import os as _os
-        if tm.on and _os.environ.get("NKSR_TIMING_SYNC", "0") == "1":
-            # kills the host/device overlap — only for phase attribution
-            from ..utils.profiling import drain
-            drain(out.basis_features)
-            tm.lap("network (sync)")
-        tm.lap("dispatch structure")
-
-        input_normal = feat if cfg.feature == "normal" else None
-
-        # ---- dense-lattice solve (default; fields/lattice.py) ----------
         import os as _os
         if _os.environ.get("NKSR_LATTICE", "1") == "1":
             from ..fields.lattice import plan_lattice
@@ -408,9 +400,59 @@ class Reconstructor:
                 dec_caps=None if dec_grids is grids else dec_caps)
         else:
             plan = None
+        use_dense_unet = plan is not None and \
+            _os.environ.get("NKSR_DENSE_UNET", "0") == "1"
+
+        if use_dense_unet:
+            # conv3d UNet on the solve lattice: no neighbor tables, no
+            # gather convolutions (models/dense_unet.py)
+            from ..models import dense_unet as DU
+            from ..models.network import NetworkOutput
+            tm.lap("lattice plan (pre-net)")
+            dt = DU.build_tables(plan.spec, plan.origins, grids, caps,
+                                 dec_grids, dec_caps)
+            basis_f, normal_f, struct_f, udf_f = _compiled_dense_unet(
+                cfg, plan.spec)(
+                self.network.params, jnp.asarray(plan.origins.astype(
+                    np.int32)), dt, jnp.asarray(xyz_p), feat,
+                jnp.asarray(mask))
+            out = NetworkOutput(
+                basis_features=basis_f, normal_features=normal_f,
+                structure_features=struct_f, udf_features=udf_f)
+            dec_svh, udf_svh = gt_svh, enc_svh
+            if tm.on and _os.environ.get("NKSR_TIMING_SYNC", "0") == "1":
+                from ..utils.profiling import drain
+                drain(out.basis_features)
+                tm.lap("dense unet (sync)")
+            tm.lap("dispatch dense unet")
+        else:
+            tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
+            tm.lap("unet tables")
+            splat0 = HB.support_indices(grids[:1], caps[:1], xyz,
+                                        presorted=orders[:1])[0]
+            splat_idx = np.concatenate([splat0, pad8])
+
+            # dispatch the network NOW (async) — the device runs it while
+            # the host builds the solve's support tables below
+            out, dec_svh, udf_svh = _compiled_structure(cfg)(
+                self.network.params, jnp.asarray(xyz_p),
+                jnp.asarray(mask), feat, enc_svh, gt_svh, tables,
+                jnp.asarray(splat_idx))
+            if tm.on and _os.environ.get("NKSR_TIMING_SYNC", "0") == "1":
+                # kills the host/device overlap — phase attribution only
+                from ..utils.profiling import drain
+                drain(out.basis_features)
+                tm.lap("network (sync)")
+            tm.lap("dispatch structure")
+
+        input_normal = feat if cfg.feature == "normal" else None
         if plan is not None:
             spec = plan.spec
             if dec_grids is grids:
+                if use_dense_unet:  # splat indices not built on this path
+                    splat_idx = np.concatenate([
+                        HB.support_indices(grids[:1], caps[:1], xyz,
+                                           presorted=orders[:1])[0], pad8])
                 prior_idx = (jnp.asarray(splat_idx),) + tuple(
                     jnp.asarray(np.concatenate([s, pad8]))
                     for s in HB.support_indices(

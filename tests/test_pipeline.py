@@ -132,3 +132,84 @@ def test_bf16_conv_forward_close_to_f32():
     assert np.isfinite(v16).all()
     # bf16 convs perturb features; fields should still agree coarsely
     assert np.abs(v16 - v32).mean() < 0.05
+
+
+class TestDenseUNet:
+    def test_dense_unet_matches_sparse(self, params):
+        """The conv3d dense-lattice UNet (models/dense_unet.py) must
+        reproduce the sparse submanifold UNet's head outputs with the
+        SAME weights: masked GroupNorm + zeroed inactive cells make the
+        dense program submanifold-exact."""
+        from nksr_tpu.core import host_build as HB
+        from nksr_tpu.fields.lattice import plan_lattice
+        from nksr_tpu.models import dense_unet as DU
+        from nksr_tpu.ops.gather_scatter import stencil_offsets
+
+        xyz_p, nrm_p, mask = make_batch()
+        xyz = np.asarray(xyz_p)[np.asarray(mask)]
+        grids, orders = HB.build_splat_grids_ex(xyz, CFG.voxel_size,
+                                                CFG.tree_depth)
+        caps = tuple(max(1 << int(np.ceil(np.log2(len(g.keys) * 1.05))),
+                         512) for g in grids)
+        cfg = dataclasses.replace(CFG, capacities=caps)
+        enc_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
+        tables = HB.build_unet_tables(grids, caps, stencil_offsets(3))
+        n = xyz.shape[0]
+        pad8 = np.full((xyz_p.shape[0] - n, 8), -1, np.int32)
+        splat0 = HB.support_indices(grids[:1], caps[:1], xyz,
+                                    presorted=orders[:1])[0]
+        splat_idx = jnp.asarray(np.concatenate([splat0, pad8]))
+
+        net = cfg.network()
+        out, dec_svh, _ = net.apply(
+            params, xyz_p, nrm_p, mask, enc_svh, enc_svh, True,
+            caps, tables=tables, point_splat_idx=splat_idx)
+
+        plan = plan_lattice(grids, caps, xyz, orders[0][0], orders[0][1],
+                            cfg.voxel_size, cfg.tree_depth,
+                            cfg.adaptive_depth, k=cfg.kernel_dim)
+        assert plan is not None
+        dt = DU.build_tables(plan.spec, plan.origins, grids, caps,
+                             grids, caps)
+        basis, normal, struct, udf = jax.jit(
+            lambda p, x, f, m: DU.dense_unet_apply(
+                cfg, p, plan.spec, jnp.asarray(plan.origins), dt,
+                x, f, m))(params, xyz_p, nrm_p, mask)
+
+        for d in range(cfg.tree_depth):
+            act = np.asarray(enc_svh.grids[d].active_mask())
+            for name, a, b in (
+                    ("basis", out.basis_features[d], basis[d]),
+                    ("normal", out.normal_features[d], normal[d]),
+                    ("struct", out.structure_features[d], struct[d]),
+                    ("udf", out.udf_features[d], udf[d])):
+                ra = np.asarray(a)[act]
+                rb = np.asarray(b)[act]
+                scale = np.abs(ra).max() + 1e-6
+                assert np.abs(ra - rb).max() / scale < 2e-4, \
+                    (name, d, np.abs(ra - rb).max(), scale)
+
+    def test_dense_unet_reconstruct_parity(self, monkeypatch):
+        """Reconstructor with NKSR_DENSE_UNET=1 must produce the same
+        field as the gather-conv path (same weights, same solve)."""
+        from nksr_tpu import Reconstructor
+        cfg = dataclasses.replace(CFG, solver_max_iters=40,
+                                  solver_tol=1e-5)
+        xyz, nrm = sphere_points(1200, r=0.5, seed=3)
+        probe = np.asarray(sphere_points(150, r=0.45, seed=4)[0])
+        recon = Reconstructor(config=cfg)
+
+        monkeypatch.setenv("NKSR_DENSE_UNET", "0")
+        f0 = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                               detail_level=None, structure="splat")
+        v0 = np.asarray(f0.evaluate_f(probe).value)
+
+        monkeypatch.setenv("NKSR_DENSE_UNET", "1")
+        f1 = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                               detail_level=None, structure="splat")
+        assert f1.lattice_ctx is not None
+        v1 = np.asarray(f1.evaluate_f(probe).value)
+
+        scale = np.abs(v0).max() + 1e-9
+        assert np.abs(v1 - v0).max() / scale < 5e-3, \
+            np.abs(v1 - v0).max() / scale
