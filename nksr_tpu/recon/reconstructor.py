@@ -113,13 +113,46 @@ def _compiled_dense_unet(cfg: P.PipelineConfig, spec):
     return jax.jit(fn)
 
 
+def _splat_normals_dense(spec, origins, d, voxel_size, xyz, normal, mask,
+                         vox_cell, vox_active):
+    """Normal prior on the dense lattice: trilinear scatter + one gather
+    at the voxel cells — identical rows to splat_normals_to_grid (the
+    sparse scatter drops inactive corners; here they land in inactive
+    cells that the gather never reads)."""
+    vs_d = voxel_size * (2.0 ** d)
+    g = xyz / vs_d
+    base = jnp.floor(g).astype(jnp.int32)
+    frac = g - base.astype(jnp.float32)
+    offs = jnp.asarray(np.stack(np.meshgrid(*([np.arange(2)] * 3),
+                                            indexing="ij"),
+                                -1).reshape(8, 3), jnp.int32)
+    corner = base[:, None, :] + offs[None]
+    w = jnp.prod(jnp.where(offs[None].astype(bool), frac[:, None, :],
+                           1.0 - frac[:, None, :]), axis=-1)
+    X, Y, Z = spec.dims[d]
+    loc = corner - origins[d][None, None, :]
+    ok = jnp.all((loc >= 0) & (loc < jnp.asarray([X, Y, Z])), axis=-1)
+    cid = jnp.where(ok & mask[:, None],
+                    (loc[..., 0] * Y + loc[..., 1]) * Z + loc[..., 2],
+                    X * Y * Z)
+    acc = jnp.zeros((X * Y * Z + 1, 3)).at[cid.reshape(-1)].add(
+        (normal[:, None, :] * w[..., None]).reshape(-1, 3), mode="drop")
+    rows = jnp.take(acc[:-1], vox_cell, axis=0)
+    rows = jnp.where(vox_active[:, None], rows, 0.0)
+    return rows / (jnp.linalg.norm(rows, axis=-1, keepdims=True) + 1e-6)
+
+
 @functools.lru_cache(maxsize=32)
-def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key):
+def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
+                            dense_prior: bool = False):
     """Dense-lattice kernel solve (fields/lattice.py) + mask attachment.
 
     The TPU-native solve engine: per-CG-iteration work is dense shifts +
     batched einsums instead of sparse row gathers (see lattice.py header
-    for the measured rationale)."""
+    for the measured rationale).  ``dense_prior``: compute the residual
+    normal prior by dense scatter+gather (the NKSR_DENSE_UNET path —
+    prior_splat_idx then carries the per-depth lattice ORIGINS row
+    instead of index tables)."""
     from ..fields import DecoderFn, LayerField, NeuralField
     from ..fields import lattice as LAT
     from ..fields.kernel_field import KernelField
@@ -148,9 +181,15 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key):
         for d in range(cfg.adaptive_depth):
             nv = normal_feats[d]
             if input_normal is not None:
-                prior = P.splat_normals_to_grid(
-                    dec_svh.grids[d], xyz_p, input_normal, mask,
-                    splat_idx=prior_splat_idx[d])
+                if dense_prior:
+                    prior = _splat_normals_dense(
+                        spec, prior_splat_idx, d, cfg.voxel_size,
+                        xyz_p, input_normal, mask,
+                        vox_cell[d], vox_active[d])
+                else:
+                    prior = P.splat_normals_to_grid(
+                        dec_svh.grids[d], xyz_p, input_normal, mask,
+                        splat_idx=prior_splat_idx[d])
                 nv = prior + nv
             nvals.append(nv)
         gr_targets = -jnp.concatenate(nvals, 0)
@@ -448,11 +487,11 @@ class Reconstructor:
         input_normal = feat if cfg.feature == "normal" else None
         if plan is not None:
             spec = plan.spec
-            if dec_grids is grids:
-                if use_dense_unet:  # splat indices not built on this path
-                    splat_idx = np.concatenate([
-                        HB.support_indices(grids[:1], caps[:1], xyz,
-                                           presorted=orders[:1])[0], pad8])
+            if use_dense_unet:
+                # dense prior: no host support tables at all — the solve
+                # scatters normals onto the lattice itself
+                prior_idx = jnp.asarray(plan.origins.astype(np.int32))
+            elif dec_grids is grids:
                 prior_idx = (jnp.asarray(splat_idx),) + tuple(
                     jnp.asarray(np.concatenate([s, pad8]))
                     for s in HB.support_indices(
@@ -477,7 +516,8 @@ class Reconstructor:
             dest[:n] = plan.pt_dest
             tm.lap("lattice plan")
             phase_key = tuple(map(tuple, plan.phase.tolist()))
-            field = _compiled_lattice_solve(cfg, spec, phase_key)(
+            field = _compiled_lattice_solve(cfg, spec, phase_key,
+                                            dense_prior=use_dense_unet)(
                 self.network.params, jnp.asarray(xs), jnp.asarray(ms),
                 jnp.asarray(c0), jnp.asarray(dest),
                 jnp.asarray(plan.slot_cell_pt),
