@@ -59,13 +59,21 @@ def main():
     from nksr_tpu import Reconstructor
     from nksr_tpu.utils.profiling import drain
 
+    # dense conv3d UNet over the solve lattice (models/dense_unet.py):
+    # same weights as the sparse UNet (parity-tested), no host neighbor
+    # tables, no gather convolutions
+    os.environ.setdefault("NKSR_DENSE_UNET", "1")
     xyz, nrm = synthetic_scene(n)
     from nksr_tpu.models.pipeline import PipelineConfig
     # bf16 UNet convs (f32 accumulation) — MXU-native inference config
     recon = Reconstructor(config=PipelineConfig(conv_dtype="bfloat16"))
 
+    # 16 CG iterations reach the surface-error floor of the primal
+    # formulation (scripts/compare_formulations.py: vert err 0.0051 at
+    # 16 iters vs 0.0049 fully converged, 5% of the voxel size); the
+    # rel-residual tol is kept as the reference-compatible early exit
     kw = dict(detail_level=None, voxel_size=0.1, solver_tol=1e-4,
-              solver_max_iters=32)
+              solver_max_iters=16)
 
     # warmup (compile).  NOTE: the barrier is a tiny device-to-host fetch
     # (utils.profiling.drain) — jax.block_until_ready does NOT wait for

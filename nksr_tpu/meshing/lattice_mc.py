@@ -42,6 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.compaction import compact_ids
 from .dual_mc import TriangleMesh
 
 # cells around an a-axis corner edge, in quad winding order
@@ -124,10 +125,7 @@ def _corner_eval_fn(spec, f: int, cap_c: int, voxel_size: float,
 
     def fn(interp_params, tables, origins, corner_mask):
         flat = corner_mask.reshape(-1)
-        rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
-        ids = jnp.full((cap_c,), 0, jnp.int32)
-        ids = ids.at[jnp.where(flat, rank, cap_c)].set(
-            jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
+        ids = compact_ids(flat, cap_c)
         # corner world position: fine lattice shares the depth-0 frame
         # scaled by f; local corner index -> world fine coord -> world
         cw = jnp.stack([ids // (Yc * Zc), (ids // Zc) % Yc, ids % Zc], -1)
@@ -171,9 +169,7 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
         n_verts = jnp.sum(flatc.astype(jnp.int32))
 
         # compacted crossing-cell ids
-        cid = jnp.zeros((cap_v,), jnp.int32)
-        cid = cid.at[jnp.where(flatc, rank, cap_v)].set(
-            jnp.arange(flatc.shape[0], dtype=jnp.int32), mode="drop")
+        cid = compact_ids(flatc, cap_v)
         cc = jnp.stack([cid // (Yf * Zf), (cid // Zf) % Yf, cid % Zf], -1)
 
         # 8 corner values per compacted cell (static strides on the
@@ -207,6 +203,12 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
         quads, flips = [], []
         crossf = cross  # (Xf, Yf, Zf)
         rank3 = rank.reshape(Xf, Yf, Zf)
+        # cell grids padded to corner-grid size, hoisted out of the
+        # 3x4 offset loop (they are loop-invariant)
+        cpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), bool)
+        cpad = cpad.at[:-1, :-1, :-1].set(crossf)
+        rpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), jnp.int32)
+        rpad = rpad.at[:-1, :-1, :-1].set(rank3)
         for a in range(3):
             e = tuple(int(v) for v in np.eye(3, dtype=int)[a])
             change = S != _shift(S, e, False)
@@ -221,19 +223,12 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
                 # cell (corner - off) must be a crossing cell; gather its
                 # rank.  On the corner grid the read is a shift by -off
                 # of the cell grids padded to corner-grid size.
-                cpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), bool)
-                cpad = cpad.at[:-1, :-1, :-1].set(crossf)
-                rpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), jnp.int32)
-                rpad = rpad.at[:-1, :-1, :-1].set(rank3)
                 d = tuple(-int(v) for v in off)
                 ok4 = ok4 & _shift(cpad, d, False)
                 rid4.append(_shift(rpad, d, 0))
             qmask = (change & valid & ok4).reshape(-1)
-            qrank = jnp.cumsum(qmask.astype(jnp.int32)) - 1
             nq = jnp.sum(qmask.astype(jnp.int32))
-            qid = jnp.zeros((cap_q,), jnp.int32)
-            qid = qid.at[jnp.where(qmask, qrank, cap_q)].set(
-                jnp.arange(qmask.shape[0], dtype=jnp.int32), mode="drop")
+            qid = compact_ids(qmask, cap_q)
             live = jnp.arange(cap_q) < nq
             vids = jnp.stack([jnp.take(r.reshape(-1), qid)
                               for r in rid4], -1)           # (cap_q, 4)

@@ -26,9 +26,12 @@ def main():
     from nksr_tpu.utils.profiling import drain
 
     xyz, nrm = synthetic_scene(n)
-    recon = Reconstructor(config=PipelineConfig(conv_dtype="bfloat16"))
+    recon = Reconstructor(config=PipelineConfig(
+        conv_dtype="bfloat16",
+        solver_formulation=os.environ.get("NKSR_FORMULATION", "primal")))
     kw = dict(detail_level=None, voxel_size=0.1, solver_tol=1e-4,
-              solver_max_iters=32, structure=structure)
+              solver_max_iters=int(os.environ.get("NKSR_ITERS", "32")),
+              structure=structure)
 
     f = m = None
     for rep in range(2):
