@@ -200,7 +200,7 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
 
         # quads: sign change along +a corner edges with all 4 cells
         # crossing.  Work on the corner grid; cells = corner - off.
-        quads, flips = [], []
+        quads, flips, nqs = [], [], []
         crossf = cross  # (Xf, Yf, Zf)
         rank3 = rank.reshape(Xf, Yf, Zf)
         # cell grids padded to corner-grid size, hoisted out of the
@@ -235,8 +235,9 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
             flip = ~jnp.take(S.reshape(-1), qid)
             quads.append(jnp.where(live[:, None], vids, -1))
             flips.append(flip & live)
+            nqs.append(nq)
         return (verts, vcenters, n_verts, jnp.stack(quads),
-                jnp.stack(flips))
+                jnp.stack(flips), jnp.stack(nqs))
     return jax.jit(fn)
 
 
@@ -276,18 +277,23 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
     # crossing count for capacity planning (cheap dense reduction)
     cap_v = _next_cap(cap_c // 4)
     cap_q = _next_cap(cap_c // 4)
-    verts, centers, n_verts, quads, flips = _topology_fn(
+    verts, centers, n_verts, quads, flips, nqs = _topology_fn(
         spec, f, cap_v, cap_q, ctx.voxel_size)(v_dense, cand, origins)
     nv = int(n_verts)
-    if nv > cap_v:
-        verts, centers, n_verts, quads, flips = _topology_fn(
-            spec, f, _next_cap(nv), _next_cap(4 * nv),
+    nqs = np.asarray(nqs)
+    if nv > cap_v or int(nqs.max()) > cap_q:
+        cap_q = _next_cap(max(4 * nv, int(nqs.max())))
+        verts, centers, n_verts, quads, flips, nqs = _topology_fn(
+            spec, f, _next_cap(nv), cap_q,
             ctx.voxel_size)(v_dense, cand, origins)
         nv = int(n_verts)
-    verts = np.asarray(verts)[:nv]
-    centers = np.asarray(centers)[:nv]
-    quads = np.asarray(quads)
-    flips = np.asarray(flips)
+        nqs = np.asarray(nqs)
+    # device-slice to the live counts BEFORE fetching: the full
+    # capacity-sized buffers would cross the device->host link
+    verts = np.asarray(verts[:nv])
+    centers = np.asarray(centers[:nv])
+    quads = [np.asarray(quads[a, :int(nqs[a])]) for a in range(3)]
+    flips = [np.asarray(flips[a, :int(nqs[a])]) for a in range(3)]
     tm.lap(f"dmc: topology ({nv} verts)")
 
     # ---- newton polish toward the zero set (as the host path does when
@@ -303,20 +309,22 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
 
     tris = []
     for a in range(3):
-        keep = (quads[a] >= 0).all(1)
-        q = quads[a][keep]
-        fl = flips[a][keep]
+        q, fl = quads[a], flips[a]          # already sliced to live rows
         q = np.where(fl[:, None], q[:, ::-1], q)
         tris.append(q[:, [0, 1, 2]])
         tris.append(q[:, [0, 2, 3]])
     fcs = np.concatenate(tris, 0).astype(np.int32) if tris else \
         np.zeros((0, 3), np.int32)
 
-    # drop unreferenced vertices (crossing cells without quads)
+    # drop unreferenced vertices (crossing cells without quads) —
+    # linear-time mask+prefix-sum remap (np.unique's sort was ~1 s of
+    # host time at 1M-vertex scale)
     if len(fcs):
-        used, inv = np.unique(fcs.reshape(-1), return_inverse=True)
+        used = np.zeros(len(verts), bool)
+        used[fcs.reshape(-1)] = True
+        remap = np.cumsum(used, dtype=np.int64) - 1
         verts = verts[used]
-        fcs = inv.reshape(-1, 3).astype(np.int32)
+        fcs = remap[fcs].astype(np.int32)
     else:
         verts = verts[:0]
 
