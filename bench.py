@@ -83,10 +83,13 @@ def main():
     # live across the next solve.
     try:
         _time_once(recon, xyz, nrm, drain, "splat", **kw)
-    except Exception:
+    except Exception as e:
         # dense-UNet path failed (e.g. HBM pressure on a different chip
         # generation): fall back to the sparse-UNet config so the bench
         # always reports a number
+        import sys
+        print(f"[bench] dense-UNet path failed, falling back: "
+              f"{str(e)[:400]}", file=sys.stderr, flush=True)
         os.environ["NKSR_DENSE_UNET"] = "0"
         _time_once(recon, xyz, nrm, drain, "splat", **kw)
 
@@ -109,12 +112,17 @@ def main():
         # weights; sub-scale run keeps the added wall-clock bounded
         try:
             import jax
-            from nksr_tpu.train import loop as T
+            from nksr_tpu.train import driver, loop as T
             from nksr_tpu.utils import checkpoint as CKPT
-            state = T.init_state(recon.config, T.TrainConfig(),
+            from nksr_tpu.utils.config import load_config
+            # the checkpoint's own architecture (tree_depth etc. differ
+            # from the bench config)
+            rcfg_path = os.path.join(os.path.dirname(ckpt), "config.yaml")
+            pcfg = driver.pipeline_config_from_yaml(load_config(rcfg_path))
+            state = T.init_state(pcfg, T.TrainConfig(),
                                  jax.random.PRNGKey(0))
             state = CKPT.load_params(ckpt, state)
-            rp = Reconstructor(config=recon.config, params=state.params)
+            rp = Reconstructor(config=pcfg, params=state.params)
             np_ = min(n, 250_000)
             rp.reconstruct(xyz[:np_], nrm[:np_], structure="predicted",
                            **kw)  # warmup
