@@ -155,7 +155,7 @@ def _dense_head(p, rows):
 
 # ------------------------------------------------------------ full forward
 def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
-                     xyz, point_feat, point_mask):
+                     xyz, point_feat, point_mask, splat_sorted=False):
     """Encoder + UNet + heads on the dense lattice (teacher-forced
     structure: decoder == the provided dec voxel lists).
 
@@ -200,10 +200,18 @@ def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
         jnp.broadcast_to(pf[:, None, :],
                          (xyz.shape[0], 8, pf.shape[-1])), offset], -1)
     nc0 = spec.n_cells(0)
-    acc = jnp.zeros((nc0 + 1, raw.shape[-1])).at[cid.reshape(-1)].add(
-        (raw * wm[..., None]).reshape(-1, raw.shape[-1]), mode="drop")
-    wsum = jnp.zeros((nc0 + 1,)).at[cid.reshape(-1)].add(
-        wm.reshape(-1), mode="drop")
+    # 8 per-corner scatters instead of one 8N-row scatter: with
+    # cell-sorted points (splat_sorted) each corner's flat ids are the
+    # sorted ids + a constant (pack64 order == flat-id order), so every
+    # scatter is sorted — measured 884 ms -> sorted rows at bench scale
+    acc = jnp.zeros((nc0 + 1, raw.shape[-1]))
+    wsum = jnp.zeros((nc0 + 1,))
+    rw = raw * wm[..., None]
+    for o in range(8):
+        acc = acc.at[cid[:, o]].add(rw[:, o], mode="drop",
+                                    indices_are_sorted=splat_sorted)
+        wsum = wsum.at[cid[:, o]].add(wm[:, o], mode="drop",
+                                      indices_are_sorted=splat_sorted)
     vox = acc[:-1] / (wsum[:-1, None] + 1e-8)
     density = jnp.log1p(wsum[:-1])[:, None]
     h = jnp.concatenate([vox, density], axis=-1)

@@ -101,15 +101,19 @@ def _compiled_structure(cfg: P.PipelineConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_dense_unet(cfg: P.PipelineConfig, spec):
+def _compiled_dense_unet(cfg: P.PipelineConfig, spec,
+                         splat_sorted: bool = False):
     """Dense conv3d UNet over the solve lattice (models/dense_unet.py):
     zero gathers in the convolutions — replaces _compiled_structure on
-    the lattice path when NKSR_DENSE_UNET=1."""
+    the lattice path when NKSR_DENSE_UNET=1.  ``splat_sorted``: caller
+    guarantees points are depth-0-cell-sorted with the pad tail mapped
+    past the lattice end (sorted encoder splat scatters)."""
     from ..models import dense_unet as DU
 
     def fn(params, origins, tables, xyz, feat, mask):
         return DU.dense_unet_apply(cfg, params, spec, origins, tables,
-                                   xyz, feat, mask)
+                                   xyz, feat, mask,
+                                   splat_sorted=splat_sorted)
     return jax.jit(fn)
 
 
@@ -450,10 +454,25 @@ class Reconstructor:
             tm.lap("lattice plan (pre-net)")
             dt = DU.build_tables(plan.spec, plan.origins, grids, caps,
                                  dec_grids, dec_caps)
+            # depth-0-cell-sorted points (reusing the host sort) turn the
+            # encoder splat into 8 sorted per-corner scatters — measured
+            # 884 ms of the 1.5 s dense UNet as one unsorted scalar
+            # scatter (BASELINE.md round-2 split).  The pad tail maps
+            # past the lattice end so sortedness holds through it.
+            perm = orders[0][1]
+            perm_p = np.concatenate(
+                [perm, np.arange(n, cap_pts)]).astype(np.int32)
+            xyz_s = np.empty((cap_pts, 3), np.float32)
+            xyz_s[:n] = xyz[perm]
+            xyz_s[n:] = (plan.origins[0].astype(np.float64)
+                         + np.asarray(plan.spec.dims[0]) + 8.0) \
+                * cfg.voxel_size
+            feat_s = jnp.take(feat, jnp.asarray(perm_p), axis=0) \
+                if feat is not None else None
             basis_f, normal_f, struct_f, udf_f = _compiled_dense_unet(
-                cfg, plan.spec)(
+                cfg, plan.spec, True)(
                 self.network.params, jnp.asarray(plan.origins.astype(
-                    np.int32)), dt, jnp.asarray(xyz_p), feat,
+                    np.int32)), dt, jnp.asarray(xyz_s), feat_s,
                 jnp.asarray(mask))
             out = NetworkOutput(
                 basis_features=basis_f, normal_features=normal_f,
