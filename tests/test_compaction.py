@@ -37,3 +37,21 @@ def test_overflow_cap_truncates_in_order():
     flat = np.ones(1000, bool)
     ids = np.asarray(compact_ids(flat, 256))
     np.testing.assert_array_equal(ids, np.arange(256))
+
+
+def test_pack64_order_is_flat_id_order():
+    """The dense-UNet sorted splat relies on pack64 key order ==
+    dense flat-id order ((x*Y+y)*Z+z): both must be lexicographic in
+    (x, y, z).  Guards the indices_are_sorted claim in
+    models/dense_unet.py (a violated sortedness hint silently
+    mis-scatters on TPU)."""
+    from nksr_tpu.core.host_build import pack64
+
+    rng = np.random.default_rng(0)
+    c = rng.integers(-500, 500, size=(5000, 3)).astype(np.int64)
+    keys = pack64(c)
+    order = np.argsort(keys, kind="stable")
+    cs = c[order]
+    Y, Z = 2000, 2000  # any dims larger than the coordinate range
+    flat = ((cs[:, 0] + 600) * Y + (cs[:, 1] + 600)) * Z + (cs[:, 2] + 600)
+    assert (np.diff(flat) >= 0).all()
