@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -122,6 +123,31 @@ def _level_fn(cfg: P.PipelineConfig, d: int):
         status = jnp.where(amask, jnp.argmax(logits, -1).astype(jnp.int32),
                            0)
         return g, status
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _heads_fn(cfg: P.PipelineConfig):
+    """Basis/normal/udf heads on the pruned decoder rows — the feature
+    tuples the dense-lattice solve consumes (same row layouts as the
+    dense/sparse UNet outputs)."""
+
+    def fn(params, g_convs, head_idx):
+        up = params["params"]["unet"]
+        basis, normals, udf = [], [], []
+        for d in range(cfg.tree_depth):
+            am = head_idx[d] >= 0
+            gd = gs.take_rows(g_convs[d], head_idx[d])
+            gd = jnp.where(am[:, None], gd, 0.0)
+            basis.append(nn.Dense(cfg.basis_dim).apply(
+                {"params": up[f"basis_{d}"]}, gd))
+            nf = nn.Dense(3).apply({"params": up[f"normal_{d}"]}, gd)
+            normals.append(jnp.where(am[:, None], nf, 0.0))
+            if cfg.udf_enabled:
+                udf.append(nn.Dense(cfg.udf_dim).apply(
+                    {"params": up[f"udf_{d}"]}, g_convs[d]))
+        return tuple(basis), tuple(normals), tuple(udf)
 
     return jax.jit(fn)
 
@@ -286,6 +312,69 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
     input_normal = feat if cfg.feature == "normal" else None
     udf_svh = HB.to_device_svh(cand_host, cand_caps, cfg.voxel_size) \
         if cfg.udf_enabled else None
+
+    # ---- dense-lattice final solve (default): same engine + device
+    # dual-MC as the splat path — the sparse final solve measured
+    # ~1.2 s/CG-iteration and host meshing ~150 s at 250k pts where the
+    # lattice path does 1M pts end-to-end in ~17 s (BASELINE.md round-2
+    # predicted-route split)
+    plan = None
+    if os.environ.get("NKSR_PRED_LATTICE", "1") == "1" \
+            and os.environ.get("NKSR_LATTICE", "1") == "1" \
+            and any(len(g_.keys) for g_ in dec_host):
+        from ..fields.lattice import plan_lattice
+        plan = plan_lattice(grids, caps, xyz, orders[0][0], orders[0][1],
+                            cfg.voxel_size, D, cfg.adaptive_depth,
+                            k=cfg.kernel_dim, dec_grids=dec_host,
+                            dec_caps=dec_caps)
+    if plan is not None:
+        from ..fields.lattice_eval import LatticeEvalContext
+        from .reconstructor import _compiled_lattice_solve
+        spec = plan.spec
+        basis_f, normal_f, udf_f = _heads_fn(cfg)(
+            params, tuple(g_convs), head_idx)
+        ncap = spec.n_pts_cap
+        xs = np.zeros((ncap, 3), np.float32)
+        xs[:n] = xyz[plan.pt_perm]
+        ms = np.zeros(ncap, bool)
+        ms[:n] = True
+        c0 = np.zeros((ncap, 3), np.int32)
+        c0[:n] = plan.pt_cell0
+        dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
+        dest[:n] = plan.pt_dest
+        tm.lap("lattice plan")
+        phase_key = tuple(map(tuple, plan.phase.tolist()))
+        field = _compiled_lattice_solve(cfg, spec, phase_key)(
+            params, jnp.asarray(xs), jnp.asarray(ms),
+            jnp.asarray(c0), jnp.asarray(dest),
+            jnp.asarray(plan.slot_cell_pt),
+            jnp.asarray(plan.slot_cell_gr),
+            jnp.asarray(plan.slot_cell0_pt),
+            jnp.asarray(plan.slot_cell0_gr),
+            jnp.asarray(plan.gr_perm),
+            jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
+            jnp.asarray(plan.gr_active),
+            tuple(jnp.asarray(v) for v in plan.vox_cell),
+            tuple(jnp.asarray(v) for v in plan.vox_active),
+            jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
+            dec_svh, udf_svh, basis_f, normal_f,
+            udf_f if cfg.udf_enabled else None, prior_idx)
+        if tm.on:
+            from ..utils.profiling import drain
+            drain(field.alpha)
+        tm.lap("final solve (lattice)")
+        ctx = LatticeEvalContext(
+            spec, plan.origins, params["params"]["interpolators"],
+            basis_f, field.alpha,
+            tuple(jnp.asarray(v) for v in plan.vox_cell),
+            tuple(jnp.asarray(v) for v in plan.vox_active),
+            cfg.voxel_size, cfg.approx_kernel_grad,
+            compute_dtype=cfg.solver_compute_dtype)
+        return HostField(field, cfg, dec_host, dec_caps,
+                         cfg.adaptive_depth,
+                         udf_host=cand_host if cfg.udf_enabled else None,
+                         udf_caps=tuple(cand_caps), lattice_ctx=ctx)
+
     field = _final_fn(cfg)(
         params, jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
         dec_svh, tuple(g_convs), head_idx,
