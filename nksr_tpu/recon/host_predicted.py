@@ -204,6 +204,13 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
     ``xyz``: (N, 3) raw points; ``xyz_p``/``mask``: capacity-padded; ``feat``
     the padded per-point input features (= normals for feature='normal').
     """
+    # direct callers (tests, chunking) may pass an unresolved 'auto'
+    # compute dtype — the public Reconstructor resolves it in
+    # _runtime_config, but the lattice branch below needs a concrete
+    # dtype either way (fields/lattice.py consumes it via jnp.dtype)
+    from .reconstructor import resolve_solver_dtype
+    cfg = dataclasses.replace(cfg, solver_compute_dtype=resolve_solver_dtype(
+        cfg.solver_compute_dtype))
     D = cfg.tree_depth
     stencil = gs.stencil_offsets(3)
     n, cap_pts = xyz.shape[0], xyz_p.shape[0]
