@@ -232,19 +232,29 @@ class LatticeEvalContext:
         return self._tables
 
     def eval_batched(self, x: np.ndarray, grad: bool = False,
-                     batch: Optional[int] = None):
+                     batch: Optional[int] = None,
+                     max_chunk: Optional[int] = None):
         """values (n,), mask (n,) [, grads (n,3)] for all n queries.
 
         The whole wave runs as ONE jit dispatch (one h2d / one d2h),
         pow2-bucketed in total size for program reuse, with lax.map
         chunking inside the graph (see _eval_fn).  ``batch`` overrides
-        the bucket cap (mainly for tests)."""
+        the bucket cap (mainly for tests); ``max_chunk`` lowers the
+        in-graph chunk size (the ``max_points`` memory knob of
+        ``extract_dual_mesh``, reference models/nksr_net.py:284)."""
         x = np.asarray(x, np.float32)
         n = x.shape[0]
         cap = batch or _bucket_cap(n)
         tables = self.tables()
+        chunk = 1 << 17
+        if max_chunk is not None:
+            # largest power of two <= max_chunk that divides the cap
+            c = 1 << max(int(np.log2(max(int(max_chunk), 1))), 0)
+            while cap % c:
+                c >>= 1
+            chunk = max(min(chunk, c), 1)
         fn = _eval_fn(self.spec, self.voxel_size, grad,
-                      self.approx_grad, cap)
+                      self.approx_grad, cap, chunk=chunk)
         origins = jnp.asarray(self.origins.astype(np.int32))
         pad = cap - n
         xp = np.pad(x, ((0, pad), (0, 0))) if pad else x

@@ -53,7 +53,11 @@ def extraction_lattice_host(host_grids, adaptive_depth: int,
 
 
 def host_extract_dual_mesh(hf, mise_iter: int = 0,
-                           grid_upsample: int = 1) -> TriangleMesh:
+                           grid_upsample: int = 1,
+                           max_points=None) -> TriangleMesh:
+    """``max_points``: bound each field-evaluation wave to at most this
+    many query points (the memory knob of the reference signature,
+    /root/reference/examples/recons_colored_mesh.py:30)."""
     from ..recon.host_predicted import _Timer
     tm = _Timer()
     u = max(int(grid_upsample), 1)
@@ -61,16 +65,30 @@ def host_extract_dual_mesh(hf, mise_iter: int = 0,
     vox = extraction_lattice_host(hf.host_grids, hf.adaptive_depth, u)
     tm.lap(f"mc: extraction lattice ({len(vox)} vox)")
 
+    def _waves(pts, fn):
+        if max_points is None or len(pts) <= max_points:
+            return fn(pts)
+        outs = [fn(pts[i:i + int(max_points)])
+                for i in range(0, len(pts), int(max_points))]
+        if isinstance(outs[0], tuple):
+            return tuple(np.concatenate([o[j] for o in outs], 0)
+                         for j in range(len(outs[0])))
+        return np.concatenate(outs, 0)
+
     if hasattr(hf, "eval_fbar_batched"):
-        eval_fbar = hf.eval_fbar_batched    # fused value+mask pass
+        eval_fbar = lambda pts: _waves(pts, hf.eval_fbar_batched)
     else:
         def eval_fbar(pts):
-            f = hf._eval_batched(pts)
-            m = hf._mask_host(pts)
-            return np.where(m, f, -hf.host_grids[0].voxel_size).astype(
-                np.float32)
+            def one(p):
+                f = hf._eval_batched(p)
+                m = hf._mask_host(p)
+                return np.where(m, f,
+                                -hf.host_grids[0].voxel_size).astype(
+                    np.float32)
+            return _waves(pts, one)
 
-    eval_grad = (lambda pts: hf._eval_batched(pts, grad=True)) \
+    eval_grad = (lambda pts: _waves(
+        pts, lambda p: hf._eval_batched(p, grad=True))) \
         if mise_iter else None
     return dual_mc_on_lattice(vox, s, eval_fbar, eval_grad, mise_iter,
                               texture=getattr(hf.field, "texture_field",

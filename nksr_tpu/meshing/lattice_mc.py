@@ -115,7 +115,8 @@ def _candidate_fn(spec, f: int):
 
 @functools.lru_cache(maxsize=32)
 def _corner_eval_fn(spec, f: int, cap_c: int, voxel_size: float,
-                    compute_dtype: str, approx_grad: bool):
+                    compute_dtype: str, approx_grad: bool,
+                    chunk: int = 1 << 17):
     """jit 2: compact candidate corners, evaluate f_bar there, scatter
     into the dense corner-value buffer (default -s everywhere else)."""
     from ..fields.lattice_eval import _eval_fn
@@ -131,7 +132,8 @@ def _corner_eval_fn(spec, f: int, cap_c: int, voxel_size: float,
         cw = jnp.stack([ids // (Yc * Zc), (ids // Zc) % Yc, ids % Zc], -1)
         cw = cw + origins[0][None, :] * f
         pos = (cw.astype(jnp.float32) - 0.5) * s_f
-        ev = _eval_fn(spec, voxel_size, False, approx_grad, cap_c)
+        ev = _eval_fn(spec, voxel_size, False, approx_grad, cap_c,
+                      chunk=chunk)
         # _eval_fn is a jit; calling inside jit just inlines the graph
         val, mask = ev(interp_params, tables, origins, pos)
         fbar = jnp.where(mask, val, -voxel_size).astype(jnp.float32)
@@ -242,9 +244,16 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
 
 
 def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
-                            texture=None) -> Optional[TriangleMesh]:
+                            texture=None,
+                            max_points: Optional[int] = None
+                            ) -> Optional[TriangleMesh]:
     """Dense-lattice extraction; returns None when inapplicable (no
-    lattice context / fine grid over budget) so callers fall back."""
+    lattice context / fine grid over budget) so callers fall back.
+
+    ``max_points``: memory knob from the reference signature
+    (extract_dual_mesh(mise_iter, grid_upsample, max_points),
+    /root/reference/examples/recons_colored_mesh.py:30) — bounds each
+    device field-evaluation wave to at most this many query points."""
     ctx = getattr(hf, "lattice_ctx", None)
     if ctx is None:
         return None
@@ -269,8 +278,15 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
     cap_c = _next_cap(int(n_c))
     tm.lap(f"dmc: candidates ({int(n_c)} corners)")
 
+    chunk = 1 << 17
+    if max_points is not None:
+        c = 1 << max(int(np.log2(max(int(max_points), 1))), 0)
+        while cap_c % c:
+            c >>= 1
+        chunk = max(min(chunk, c), 1)
     v_dense = _corner_eval_fn(spec, f, cap_c, ctx.voxel_size,
-                              ctx.compute_dtype, ctx.approx_grad)(
+                              ctx.compute_dtype, ctx.approx_grad,
+                              chunk=chunk)(
         ctx.interp_params, tables, origins, corner_mask)
     tm.lap("dmc: corner eval")
 
@@ -301,7 +317,8 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
     # to the dual cell box exactly like host_mc
     if mise_iter > 0 and nv:
         s_f = ctx.voxel_size / f
-        v, _, g = ctx.eval_batched(verts, grad=True)
+        v, _, g = ctx.eval_batched(verts, grad=True,
+                                   max_chunk=max_points)
         step = v[:, None] * g / (np.sum(g * g, 1, keepdims=True) + 1e-12)
         verts = verts - np.clip(step, -0.5 * s_f, 0.5 * s_f)
         verts = np.clip(verts, centers - 0.5 * s_f, centers + 0.5 * s_f)

@@ -153,32 +153,30 @@ def _dense_head(p, rows):
     return rows @ p["kernel"] + p["bias"]
 
 
-# ------------------------------------------------------------ full forward
-def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
-                     xyz, point_feat, point_mask, splat_sorted=False):
-    """Encoder + UNet + heads on the dense lattice (teacher-forced
-    structure: decoder == the provided dec voxel lists).
+def encode_points(cfg, params, dims, origins, xyz, point_feat, point_mask,
+                  base0=None, splat_sorted: bool = False):
+    """Point encoder on the depth-0 dense lattice: trilinear 8-corner
+    splat of (features, offsets, density) + the 2-layer MLP.
 
-    Returns (basis_features, normal_features, structure_features,
-    udf_features) with the SAME per-voxel row layouts as the sparse
-    ``NKSRNetwork`` outputs.
+    ``base0``: host-computed depth-0 base cells (int32, WORLD coords) —
+    preferred over the device ``floor(xyz / voxel_size)``: the host plan
+    (host_build/pack64 sort, fields/lattice flat cells) is built from the
+    numpy floor, and a boundary-point rounding divergence between numpy
+    and XLA f32 division would silently mis-scatter.  Passing the plan's
+    own cells makes host and device agree by construction.
+
+    ``splat_sorted``: caller guarantees points are depth-0-cell-sorted
+    with the pad tail mapped past the lattice end, turning each of the 8
+    per-corner scatters into a sorted scatter (measured 884 ms -> sorted
+    rows at bench scale, BASELINE.md round-2 split).
     """
-    depth = spec.depth
-    cdt = jnp.dtype(cfg.conv_dtype)
     enc = params["params"]["encoder"]
-    up = params["params"]["unet"]
     voxel_size = cfg.voxel_size
-
-    # dense occupancy masks from the voxel lists
-    occ = []
-    for d in range(depth):
-        m = jnp.zeros((spec.n_cells(d),), bool).at[
-            tables.enc_cell[d]].max(tables.enc_active[d], mode="drop")
-        occ.append(m)
-
-    # ---------------- encoder: trilinear point splat + MLP --------------
     g = xyz / voxel_size
-    base = jnp.floor(g).astype(jnp.int32)
+    if base0 is None:
+        base = jnp.floor(g).astype(jnp.int32)
+    else:
+        base = base0
     frac = g - base.astype(jnp.float32)
     offs = jnp.asarray(np.stack(np.meshgrid(*([np.arange(2)] * 3),
                                             indexing="ij"),
@@ -186,11 +184,12 @@ def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
     corner = base[:, None, :] + offs[None]
     w = jnp.prod(jnp.where(offs[None].astype(bool), frac[:, None, :],
                            1.0 - frac[:, None, :]), axis=-1)
-    X, Y, Z = spec.dims[0]
+    X, Y, Z = dims[0]
+    nc0 = X * Y * Z
     loc = corner - origins[0][None, None, :]
     ok = jnp.all((loc >= 0) & (loc < jnp.asarray([X, Y, Z])), axis=-1)
     cid = (loc[..., 0] * Y + loc[..., 1]) * Z + loc[..., 2]
-    cid = jnp.where(ok, cid, spec.n_cells(0))
+    cid = jnp.where(ok, cid, nc0)
     wm = jnp.where(point_mask[:, None], w, 0.0)
     offset = (xyz[:, None, :]
               - corner.astype(jnp.float32) * voxel_size) / voxel_size
@@ -199,11 +198,10 @@ def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
     raw = jnp.concatenate([
         jnp.broadcast_to(pf[:, None, :],
                          (xyz.shape[0], 8, pf.shape[-1])), offset], -1)
-    nc0 = spec.n_cells(0)
     # 8 per-corner scatters instead of one 8N-row scatter: with
     # cell-sorted points (splat_sorted) each corner's flat ids are the
-    # sorted ids + a constant (pack64 order == flat-id order), so every
-    # scatter is sorted — measured 884 ms -> sorted rows at bench scale
+    # sorted ids + a constant (pack64 key order == flat-id order), so
+    # every scatter is sorted
     acc = jnp.zeros((nc0 + 1, raw.shape[-1]))
     wsum = jnp.zeros((nc0 + 1,))
     rw = raw * wm[..., None]
@@ -216,7 +214,34 @@ def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
     density = jnp.log1p(wsum[:-1])[:, None]
     h = jnp.concatenate([vox, density], axis=-1)
     h = jax.nn.silu(h @ enc["Dense_0"]["kernel"] + enc["Dense_0"]["bias"])
-    h = h @ enc["Dense_1"]["kernel"] + enc["Dense_1"]["bias"]
+    return h @ enc["Dense_1"]["kernel"] + enc["Dense_1"]["bias"]
+
+
+# ------------------------------------------------------------ full forward
+def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
+                     xyz, point_feat, point_mask, splat_sorted=False,
+                     base0=None):
+    """Encoder + UNet + heads on the dense lattice (teacher-forced
+    structure: decoder == the provided dec voxel lists).
+
+    Returns (basis_features, normal_features, structure_features,
+    udf_features) with the SAME per-voxel row layouts as the sparse
+    ``NKSRNetwork`` outputs.
+    """
+    depth = spec.depth
+    cdt = jnp.dtype(cfg.conv_dtype)
+    up = params["params"]["unet"]
+
+    # dense occupancy masks from the voxel lists
+    occ = []
+    for d in range(depth):
+        m = jnp.zeros((spec.n_cells(d),), bool).at[
+            tables.enc_cell[d]].max(tables.enc_active[d], mode="drop")
+        occ.append(m)
+
+    # ---------------- encoder: trilinear point splat + MLP --------------
+    h = encode_points(cfg, params, spec.dims, origins, xyz, point_feat,
+                      point_mask, base0=base0, splat_sorted=splat_sorted)
     f = jnp.where(occ[0][:, None], h, 0.0)
 
     # ---------------- encoder path ---------------------------------------

@@ -141,18 +141,28 @@ class HostField:
     # ------------------------------------------------------------- meshing
     def extract_dual_mesh(self, mise_iter: int = 0, grid_upsample: int = 1,
                           max_points: Optional[int] = None) -> TriangleMesh:
+        """``max_points`` bounds each device field-evaluation wave (the
+        memory knob of the reference signature,
+        /root/reference/examples/recons_colored_mesh.py:30)."""
         import os
         if os.environ.get("NKSR_DENSE_MC", "1") == "1":
             # dense-lattice dual MC: topology on device as shifts +
             # compactions (meshing/lattice_mc.py); None -> inapplicable
             from ..meshing.lattice_mc import extract_dual_mesh_dense
             m = extract_dual_mesh_dense(self, mise_iter=mise_iter,
-                                        grid_upsample=grid_upsample)
+                                        grid_upsample=grid_upsample,
+                                        max_points=max_points)
             if m is not None:
                 return m
+            from ..utils.profiling import log_engine_demotion
+            log_engine_demotion(
+                "dense-dual-mc", "host-mesher",
+                "no lattice context, UDF mask head, or fine grid over "
+                "the dense cell budget")
         from ..meshing.host_mc import host_extract_dual_mesh
         return host_extract_dual_mesh(self, mise_iter=mise_iter,
-                                      grid_upsample=grid_upsample)
+                                      grid_upsample=grid_upsample,
+                                      max_points=max_points)
 
     def set_texture_field(self, tex) -> "HostField":
         self.field = self.field.set_texture_field(tex)

@@ -211,6 +211,23 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
     from .reconstructor import resolve_solver_dtype
     cfg = dataclasses.replace(cfg, solver_compute_dtype=resolve_solver_dtype(
         cfg.solver_compute_dtype))
+
+    # default engine: the whole structure-predicting forward as ONE dense
+    # jit (models/dense_predicted.py) — no per-level host round-trips.
+    # Falls back here (the per-level orchestration below) when the dense
+    # lattice would exceed its budget or the prediction prunes everything.
+    if os.environ.get("NKSR_PRED_DENSE", "1") == "1" \
+            and os.environ.get("NKSR_LATTICE", "1") == "1":
+        from .predicted_dense import reconstruct_predicted_dense
+        hf = reconstruct_predicted_dense(params, cfg, xyz, xyz_p, mask,
+                                         feat)
+        if hf is not None:
+            return hf
+        from ..utils.profiling import log_engine_demotion
+        log_engine_demotion(
+            "predicted-dense", "host-per-level",
+            "lattice budget exceeded or empty prediction")
+
     D = cfg.tree_depth
     stencil = gs.stencil_offsets(3)
     n, cap_pts = xyz.shape[0], xyz_p.shape[0]

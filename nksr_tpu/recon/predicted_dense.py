@@ -1,0 +1,195 @@
+"""Dense-lattice predicted-structure reconstruction (default engine for
+the reference's default inference route).
+
+One device jit runs the ENTIRE structure-predicting forward (encoder +
+UNet decode with in-graph mask-based pruning/refinement —
+models/dense_predicted.py), the host reads back one int8 status lattice
+per level to build the decoder voxel lists, and the final solve + meshing
+ride the same dense-lattice engine as the splat path.  Replaces the
+per-level host round-trips of recon/host_predicted.py (which measured
+~200 s at 250k points where the splat path does 1M points in ~15 s).
+
+Grid/field parity with the host-orchestrated route (and through it the
+in-graph reference forward) is pinned by tests/test_predicted_dense.py.
+
+Reference contract: the default predicted-structure behavior of
+``Reconstructor.reconstruct`` (/root/reference/models/nksr_net.py:74-78,
+examples/recons_waymo.py:30-37).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import host_build as HB
+from ..models import dense_predicted as DP
+from ..models import pipeline as P
+from .host_field import HostField
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(8, int(math.ceil(math.log2(max(n, 1)))))
+
+
+def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
+                                xyz: np.ndarray, xyz_p: np.ndarray,
+                                mask: np.ndarray, feat
+                                ) -> Optional[HostField]:
+    """Returns the reconstructed HostField, or None when the dense route
+    does not apply (lattice budget exceeded / empty hierarchy / fully
+    pruned prediction) — callers fall back to the host-orchestrated
+    route, which owns the warning/empty-field semantics."""
+    from ..fields.lattice import plan_lattice
+    from ..fields.lattice_eval import LatticeEvalContext
+    from .host_predicted import _Timer
+    from .reconstructor import _compiled_lattice_solve, resolve_solver_dtype
+
+    cfg = dataclasses.replace(cfg, solver_compute_dtype=resolve_solver_dtype(
+        cfg.solver_compute_dtype))
+    D = cfg.tree_depth
+    n, cap_pts = xyz.shape[0], xyz_p.shape[0]
+    tm = _Timer()
+
+    grids, orders = HB.build_splat_grids_ex(xyz, cfg.voxel_size, D)
+    caps = tuple(_next_pow2(len(g.keys)) for g in grids)
+    cfg = dataclasses.replace(cfg, capacities=caps)
+    planu = DP.plan_unet_lattice(grids, D)
+    if planu is None:
+        return None
+    dims, origins = planu
+    enc_cell, enc_active = DP.enc_cell_tables(grids, caps, dims, origins)
+    tm.lap("splat grids + unet lattice")
+
+    # depth-0-cell-sorted points: every encoder splat scatter is sorted
+    # (pack64 key order == flat-id order); pad rows map past the lattice
+    # end so sortedness holds through the tail
+    perm = orders[0][1]
+    base0_s = np.empty((cap_pts, 3), np.int32)
+    base0_s[:n] = HB.unpack64(orders[0][0])
+    base0_s[n:] = origins[0] + np.asarray(dims[0]) + 8
+    xyz_s = np.zeros((cap_pts, 3), np.float32)
+    xyz_s[:n] = xyz[perm]
+    perm_p = np.concatenate([perm, np.arange(n, cap_pts)]).astype(np.int32)
+    feat_s = jnp.take(feat, jnp.asarray(perm_p), axis=0) \
+        if feat is not None else None
+
+    gs, sts = DP._forward_fn(cfg, dims)(
+        params, jnp.asarray(origins.astype(np.int32)), enc_cell,
+        enc_active, jnp.asarray(xyz_s), jnp.asarray(base0_s), feat_s,
+        jnp.asarray(mask))
+    tm.lap("dispatch network")
+
+    # one int8 lattice per level D2H; everything else stays in HBM
+    dec_host, cand_host = [], []
+    dec_cells_np, cand_cells_np = [], []
+    for d in range(D):
+        st = np.asarray(sts[d])
+        _, Y, Z = dims[d]
+
+        def lists(sel):
+            ids = np.flatnonzero(sel).astype(np.int64)
+            c = np.stack([ids // (Y * Z), (ids // Z) % Y, ids % Z],
+                         -1) + origins[d]
+            # flatnonzero order == row-major local order == pack64 key
+            # order (monotone per axis), so the grid is sorted
+            return HostGrid_sorted(c, cfg.voxel_size * (2.0 ** d)), ids
+
+        g_dec, ids_dec = lists(st > 1)          # status > 0 (keep)
+        g_cand, ids_cand = lists(st > 0)        # all candidates
+        dec_host.append(g_dec)
+        cand_host.append(g_cand)
+        dec_cells_np.append(ids_dec)
+        cand_cells_np.append(ids_cand)
+    tm.lap("status readback")
+
+    if all(len(g.keys) == 0 for g in dec_host):
+        return None                 # host route owns the empty warning
+
+    dec_caps = tuple(_next_pow2(len(g.keys)) for g in dec_host)
+    cand_caps = tuple(_next_pow2(len(g.keys)) for g in cand_host)
+
+    def padded(ids_list, caps_):
+        cells, actives = [], []
+        for d, ids in enumerate(ids_list):
+            cap = caps_[d]
+            c = np.zeros(cap, np.int32)
+            c[:len(ids)] = ids
+            a = np.zeros(cap, bool)
+            a[:len(ids)] = True
+            cells.append(jnp.asarray(c))
+            actives.append(jnp.asarray(a))
+        return tuple(cells), tuple(actives)
+
+    dc, da = padded(dec_cells_np, dec_caps)
+    cc, ca = padded(cand_cells_np, cand_caps)
+    basis_f, normal_f, udf_f = DP._heads_fn(cfg, cfg.udf_enabled)(
+        params, gs, dc, da, cc, ca)
+    tm.lap("dispatch heads")
+
+    plan = plan_lattice(grids, caps, xyz, orders[0][0], orders[0][1],
+                        cfg.voxel_size, D, cfg.adaptive_depth,
+                        k=cfg.kernel_dim, dec_grids=dec_host,
+                        dec_caps=dec_caps)
+    if plan is None:
+        return None
+    spec = plan.spec
+    tm.lap("lattice plan")
+
+    dec_svh = HB.to_device_svh(dec_host, dec_caps, cfg.voxel_size)
+    udf_svh = HB.to_device_svh(cand_host, cand_caps, cfg.voxel_size) \
+        if cfg.udf_enabled else None
+    input_normal = feat if cfg.feature == "normal" else None
+
+    ncap = spec.n_pts_cap
+    xs = np.zeros((ncap, 3), np.float32)
+    xs[:n] = xyz[plan.pt_perm]
+    ms = np.zeros(ncap, bool)
+    ms[:n] = True
+    c0 = np.zeros((ncap, 3), np.int32)
+    c0[:n] = plan.pt_cell0
+    dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
+    dest[:n] = plan.pt_dest
+    phase_key = tuple(map(tuple, plan.phase.tolist()))
+    prior_idx = jnp.asarray(plan.origins.astype(np.int32))
+    field = _compiled_lattice_solve(cfg, spec, phase_key,
+                                    dense_prior=True)(
+        params, jnp.asarray(xs), jnp.asarray(ms),
+        jnp.asarray(c0), jnp.asarray(dest),
+        jnp.asarray(plan.slot_cell_pt),
+        jnp.asarray(plan.slot_cell_gr),
+        jnp.asarray(plan.slot_cell0_pt),
+        jnp.asarray(plan.slot_cell0_gr),
+        jnp.asarray(plan.gr_perm),
+        jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
+        jnp.asarray(plan.gr_active),
+        tuple(jnp.asarray(v) for v in plan.vox_cell),
+        tuple(jnp.asarray(v) for v in plan.vox_active),
+        jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
+        dec_svh, udf_svh, basis_f, normal_f,
+        udf_f if cfg.udf_enabled else None, prior_idx)
+    if tm.on:
+        from ..utils.profiling import drain
+        drain(field.alpha)
+    tm.lap("final solve (lattice)")
+
+    ctx = LatticeEvalContext(
+        spec, plan.origins, params["params"]["interpolators"],
+        basis_f, field.alpha,
+        tuple(jnp.asarray(v) for v in plan.vox_cell),
+        tuple(jnp.asarray(v) for v in plan.vox_active),
+        cfg.voxel_size, cfg.approx_kernel_grad,
+        compute_dtype=cfg.solver_compute_dtype)
+    return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth,
+                     udf_host=cand_host if cfg.udf_enabled else None,
+                     udf_caps=tuple(cand_caps), lattice_ctx=ctx)
+
+
+def HostGrid_sorted(coords: np.ndarray, voxel_size: float) -> HB.HostGrid:
+    """HostGrid from coords already in pack64 key order (no sort)."""
+    return HB.HostGrid(coords=coords.astype(np.int32),
+                       keys=HB.pack64(coords), voxel_size=voxel_size)

@@ -34,6 +34,23 @@ def drain(tree) -> None:
             return
 
 
+_DEMOTIONS_LOGGED: set = set()
+
+
+def log_engine_demotion(wanted: str, got: str, why: str) -> None:
+    """Loud, once-per-process notice that a fast engine was demoted
+    (Pallas -> XLA, dense UNet -> gather conv, dense mesher -> host,
+    predicted-dense -> per-level host).  Silent demotions make benchmark
+    numbers lie about which path ran; this is the single chokepoint."""
+    key = (wanted, got)
+    if key in _DEMOTIONS_LOGGED:
+        return
+    _DEMOTIONS_LOGGED.add(key)
+    import sys
+    print(f"[nksr_tpu] engine demotion: {wanted} -> {got} ({why})",
+          file=sys.stderr, flush=True)
+
+
 @contextlib.contextmanager
 def phase(name: str):
     """Named trace region (shows up in the profiler timeline)."""

@@ -111,6 +111,30 @@ class TestDenseLatticeMC:
         _, counts = np.unique(edges, axis=0, return_counts=True)
         assert (counts == 2).mean() > 0.99
 
+    def test_max_points_same_mesh(self, monkeypatch):
+        """max_points (the reference memory knob,
+        /root/reference/examples/recons_colored_mesh.py:30) chunks the
+        evaluation waves without changing the extracted mesh — on both
+        the dense device mesher and the host fallback."""
+        from nksr_tpu import Reconstructor
+        from nksr_tpu.models import pipeline as P
+
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=40,
+                               solver_tol=1e-5)
+        recon = Reconstructor(config=cfg)
+        xyz, nrm = sphere_points(1500, r=0.5, seed=9)
+        hf = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                               detail_level=None, structure="splat")
+        for dense in ("1", "0"):
+            monkeypatch.setenv("NKSR_DENSE_MC", dense)
+            m_full = hf.extract_dual_mesh(mise_iter=1)
+            m_chunked = hf.extract_dual_mesh(mise_iter=1,
+                                             max_points=4096)
+            assert m_full.v.shape == m_chunked.v.shape, dense
+            np.testing.assert_allclose(m_full.v, m_chunked.v, atol=1e-6)
+            np.testing.assert_array_equal(m_full.f, m_chunked.f)
+
     def test_dense_bails_out_over_budget(self, monkeypatch):
         from nksr_tpu.meshing import lattice_mc as LM
         monkeypatch.setattr(LM, "DENSE_CELL_BUDGET", 10)
