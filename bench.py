@@ -27,10 +27,11 @@ import numpy as np
 BASELINE_PTS_PER_S = 3.0e5
 
 
-def synthetic_scene(n: int, seed: int = 0):
+def synthetic_scene(n: int, seed: int = 0, half_extent: float = 20.0):
     """A wavy terrain patch with analytic normals — scene-like input."""
     rng = np.random.default_rng(seed)
-    xy = rng.uniform(-20.0, 20.0, size=(n, 2)).astype(np.float32)
+    xy = rng.uniform(-half_extent, half_extent, size=(n, 2)) \
+        .astype(np.float32)
     h = (np.sin(0.3 * xy[:, 0]) * np.cos(0.25 * xy[:, 1])
          + 0.3 * np.sin(1.1 * xy[:, 0] + 0.7 * xy[:, 1]))
     xyz = np.concatenate([xy, h[:, None].astype(np.float32)], 1)
@@ -59,10 +60,9 @@ def main():
     from nksr_tpu import Reconstructor
     from nksr_tpu.utils.profiling import drain
 
-    # dense conv3d UNet over the solve lattice (models/dense_unet.py):
-    # same weights as the sparse UNet (parity-tested), no host neighbor
-    # tables, no gather convolutions
-    os.environ.setdefault("NKSR_DENSE_UNET", "1")
+    # engines (dense conv3d UNet, Pallas cascade, dense dual-MC) resolve
+    # to their fast defaults on their own — the bench sets NO env vars,
+    # so a Reconstructor().reconstruct() user gets the benched path
     xyz, nrm = synthetic_scene(n)
     from nksr_tpu.models.pipeline import PipelineConfig
     # bf16 UNet convs (f32 accumulation) — MXU-native inference config
@@ -105,11 +105,13 @@ def main():
     tm = min(t_mesh)
     total = tr + tm
 
-    extra = {}
+    extra = {"unet": getattr(recon, "_last_unet_engine", "unknown")}
     ckpt = os.environ.get("NKSR_BENCH_CKPT", "runs/synth_tpu/last.ckpt")
     if os.path.exists(ckpt):
         # predicted-structure path (the reference default) with trained
-        # weights; sub-scale run keeps the added wall-clock bounded
+        # weights, AT THE CHECKPOINT'S OWN OPERATING POINT: its trained
+        # voxel size (runs/synth_tpu/config.yaml), on a terrain patch
+        # dense enough for that resolution
         try:
             import jax
             from nksr_tpu.train import driver, loop as T
@@ -118,21 +120,28 @@ def main():
             # the checkpoint's own architecture (tree_depth etc. differ
             # from the bench config)
             rcfg_path = os.path.join(os.path.dirname(ckpt), "config.yaml")
-            pcfg = driver.pipeline_config_from_yaml(load_config(rcfg_path))
+            rcfg = load_config(rcfg_path)
+            pcfg = driver.pipeline_config_from_yaml(rcfg)
             state = T.init_state(pcfg, T.TrainConfig(),
                                  jax.random.PRNGKey(0))
             state = CKPT.load_params(ckpt, state)
             rp = Reconstructor(config=pcfg, params=state.params)
             np_ = min(n, 250_000)
-            rp.reconstruct(xyz[:np_], nrm[:np_], structure="predicted",
-                           **kw)  # warmup
-            t0 = time.perf_counter()
-            fp = rp.reconstruct(xyz[:np_], nrm[:np_],
-                                structure="predicted", **kw)
-            drain(fp.alpha)
-            mp = fp.extract_dual_mesh(mise_iter=1)
-            extra["predicted_pts_per_s"] = round(
-                np_ / (time.perf_counter() - t0), 1)
+            xp_, nrm_p = synthetic_scene(np_, seed=1, half_extent=5.0)
+            kwp = dict(detail_level=None,
+                       voxel_size=float(rcfg["voxel_size"]),
+                       solver_tol=1e-4, solver_max_iters=16)
+            reps_p = []
+            for _ in range(2):   # first pass compiles
+                t0 = time.perf_counter()
+                fp = rp.reconstruct(xp_, nrm_p, structure="predicted",
+                                    **kwp)
+                drain(fp.alpha)
+                mp = fp.extract_dual_mesh(mise_iter=1)
+                reps_p.append(time.perf_counter() - t0)
+                extra["predicted_mesh_verts"] = int(mp.v.shape[0])
+                fp = mp = None
+            extra["predicted_pts_per_s"] = round(np_ / min(reps_p), 1)
             extra["predicted_n"] = np_
         except Exception as e:   # never fail the bench over the extra
             extra["predicted_error"] = str(e)[:120]

@@ -52,16 +52,15 @@ from ..fields import lattice as LAT
 from . import dense_unet as DU
 
 
-# total dense cells (all depths) the in-graph decode may allocate; each
+# total (dense cells x f_maps) the in-graph decode may allocate; each
 # level keeps an f_maps-wide f32 feature lattice alive for the head
-# gathers, so the cap bounds HBM at ~ budget * f_maps * 4 B * ~2 live
-# tensors (~5 GB at the defaults) — callers fall back to the host route
-# beyond it
-DENSE_PRED_CELL_BUDGET = 24_000_000
+# gathers (~3 such tensors live at the budget, ~5 GB) — callers fall
+# back to the host route beyond it
+DENSE_PRED_CELLMAP_BUDGET = 400_000_000
 
 
-def plan_unet_lattice(grids, depth: int,
-                      budget: int = DENSE_PRED_CELL_BUDGET):
+def plan_unet_lattice(grids, depth: int, f_maps: int = 32,
+                      budget: int = DENSE_PRED_CELLMAP_BUDGET):
     """Child-cover dense lattice over the encoder hierarchy.
 
     Zero-phase origins (``o_d = o0 >> d`` with o0 aligned to
@@ -94,7 +93,7 @@ def plan_unet_lattice(grids, depth: int,
         e = need << (depth - 1 - d)
         dims.append((int(e[0]), int(e[1]), int(e[2])))
         total += int(e[0] * e[1] * e[2])
-    if total > budget:
+    if total * f_maps > budget:
         return None
     return tuple(dims), origins
 

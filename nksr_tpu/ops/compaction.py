@@ -44,8 +44,10 @@ def compact_ids(flat: jnp.ndarray, cap: int) -> jnp.ndarray:
 
     ``ids[j]`` = flat index of the j-th True element for
     ``j < popcount(flat)``; for ``j >= popcount`` the value is an
-    arbitrary in-range index (callers mask by the live count exactly as
-    they would with the scatter-based compaction's 0-fill).
+    arbitrary index in range of the 128-padded length — it can reach
+    ``ceil(n/128)*128 - 1``, i.e. BEYOND ``n-1``.  Callers must mask by
+    the live count, or read through clip-mode ``jnp.take`` (as all
+    in-tree callers do); do not scatter with these ids unmasked.
     """
     n = int(flat.shape[0])
     nb = -(-n // _L)

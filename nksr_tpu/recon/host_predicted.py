@@ -316,32 +316,13 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
         for d, r in enumerate(head_rows))
 
     tm.lap("dec upload")
-    pos_sup_n = HB.support_indices(dec_host, dec_caps, xyz,
-                                   presorted=orders)
-    tm.lap("dec support")
-    pos_sup = tuple(
-        np.concatenate([s, np.full((cap_pts - n, 8), -1, np.int32)])
-        for s in pos_sup_n)
-    centers_parts = []
-    for d in range(cfg.adaptive_depth):
-        cpad = np.zeros((dec_caps[d], 3), np.float32)
-        nn_ = min(len(dec_host[d].keys), dec_caps[d])
-        cpad[:nn_] = dec_host[d].coords[:nn_] * dec_host[d].voxel_size
-        centers_parts.append(cpad)
-    grad_sup = HB.support_indices(dec_host, dec_caps,
-                                  np.concatenate(centers_parts, 0))
-    prior_idx = tuple(jnp.asarray(pos_sup[d])
-                      for d in range(cfg.adaptive_depth))
-
-    input_normal = feat if cfg.feature == "normal" else None
-    udf_svh = HB.to_device_svh(cand_host, cand_caps, cfg.voxel_size) \
-        if cfg.udf_enabled else None
 
     # ---- dense-lattice final solve (default): same engine + device
     # dual-MC as the splat path — the sparse final solve measured
     # ~1.2 s/CG-iteration and host meshing ~150 s at 250k pts where the
     # lattice path does 1M pts end-to-end in ~17 s (BASELINE.md round-2
-    # predicted-route split)
+    # predicted-route split).  Planned FIRST so the sparse-only support
+    # tables below are skipped on the default route.
     plan = None
     if os.environ.get("NKSR_PRED_LATTICE", "1") == "1" \
             and os.environ.get("NKSR_LATTICE", "1") == "1" \
@@ -351,6 +332,31 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
                             cfg.voxel_size, D, cfg.adaptive_depth,
                             k=cfg.kernel_dim, dec_grids=dec_host,
                             dec_caps=dec_caps)
+        tm.lap("lattice plan (pre)")
+
+    pos_sup_n = HB.support_indices(dec_host, dec_caps, xyz,
+                                   presorted=orders)
+    tm.lap("dec support")
+    pos_sup = tuple(
+        np.concatenate([s, np.full((cap_pts - n, 8), -1, np.int32)])
+        for s in pos_sup_n)
+    grad_sup = None
+    if plan is None:
+        # voxel-center support tables feed only the sparse final solve
+        centers_parts = []
+        for d in range(cfg.adaptive_depth):
+            cpad = np.zeros((dec_caps[d], 3), np.float32)
+            nn_ = min(len(dec_host[d].keys), dec_caps[d])
+            cpad[:nn_] = dec_host[d].coords[:nn_] * dec_host[d].voxel_size
+            centers_parts.append(cpad)
+        grad_sup = HB.support_indices(dec_host, dec_caps,
+                                      np.concatenate(centers_parts, 0))
+    prior_idx = tuple(jnp.asarray(pos_sup[d])
+                      for d in range(cfg.adaptive_depth))
+
+    input_normal = feat if cfg.feature == "normal" else None
+    udf_svh = HB.to_device_svh(cand_host, cand_caps, cfg.voxel_size) \
+        if cfg.udf_enabled else None
     if plan is not None:
         from ..fields.lattice_eval import LatticeEvalContext
         from .reconstructor import _compiled_lattice_solve

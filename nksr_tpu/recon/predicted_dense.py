@@ -58,7 +58,7 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
     grids, orders = HB.build_splat_grids_ex(xyz, cfg.voxel_size, D)
     caps = tuple(_next_pow2(len(g.keys)) for g in grids)
     cfg = dataclasses.replace(cfg, capacities=caps)
-    planu = DP.plan_unet_lattice(grids, D)
+    planu = DP.plan_unet_lattice(grids, D, f_maps=cfg.f_maps)
     if planu is None:
         return None
     dims, origins = planu

@@ -73,7 +73,35 @@ def resolve_cascade_engine(eng: str) -> str:
         return eng
     if jax.default_backend() == "cpu":
         return "xla"
-    return "pallas" if _pallas_cascade_ok() else "xla"
+    if _pallas_cascade_ok():
+        return "pallas"
+    from ..utils.profiling import log_engine_demotion
+    log_engine_demotion("pallas-cascade", "xla-cascade",
+                        "Mosaic probe failed on this backend")
+    return "xla"
+
+
+# total dense cells (all depths) x f_maps the conv3d UNet may hold; it
+# keeps ~3-4 feature lattices of that size live (measured ~3 GB at the
+# 1M-pt bench: 6.2M cells x 32 maps) — beyond this, demote to the
+# gather-conv UNet rather than risk HBM exhaustion
+DENSE_UNET_CELLMAP_BUDGET = 400_000_000
+
+
+def use_dense_unet(spec, cfg) -> bool:
+    """Default-on dense conv3d UNet wherever the lattice plan exists and
+    the feature lattices fit the budget.  NKSR_DENSE_UNET=0/1 overrides."""
+    env = os.environ.get("NKSR_DENSE_UNET", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    total = sum(spec.n_cells(d) for d in range(spec.depth))
+    if total * cfg.f_maps <= DENSE_UNET_CELLMAP_BUDGET:
+        return True
+    from ..utils.profiling import log_engine_demotion
+    log_engine_demotion(
+        "dense-unet", "gather-conv-unet",
+        f"{total} cells x {cfg.f_maps} maps exceeds the HBM budget")
+    return False
 
 
 @functools.lru_cache(maxsize=32)
@@ -110,10 +138,10 @@ def _compiled_dense_unet(cfg: P.PipelineConfig, spec,
     past the lattice end (sorted encoder splat scatters)."""
     from ..models import dense_unet as DU
 
-    def fn(params, origins, tables, xyz, feat, mask):
+    def fn(params, origins, tables, xyz, feat, mask, base0=None):
         return DU.dense_unet_apply(cfg, params, spec, origins, tables,
                                    xyz, feat, mask,
-                                   splat_sorted=splat_sorted)
+                                   splat_sorted=splat_sorted, base0=base0)
     return jax.jit(fn)
 
 
@@ -226,6 +254,26 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
         else:
             mf = LayerField(dec_svh, cfg.adaptive_depth)
         return field.set_mask_field(mf)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_gr_targets(cfg: P.PipelineConfig, spec):
+    """Gradient targets for the sharded solve: residual normal head on
+    the dense splat prior (the same rows _compiled_lattice_solve builds
+    inline; the sharded solve takes them as an explicit input)."""
+    def fn(normal_feats, xyz_p, mask, input_normal, origins, vox_cell,
+           vox_active):
+        nvals = []
+        for d in range(cfg.adaptive_depth):
+            nv = normal_feats[d]
+            if input_normal is not None:
+                prior = _splat_normals_dense(
+                    spec, origins, d, cfg.voxel_size, xyz_p,
+                    input_normal, mask, vox_cell[d], vox_active[d])
+                nv = prior + nv
+            nvals.append(nv)
+        return -jnp.concatenate(nvals, 0)
     return jax.jit(fn)
 
 
@@ -378,6 +426,18 @@ class Reconstructor:
             sensor=None if sens is None else jnp.asarray(
                 np.pad(sens, ((0, pad), (0, 0)))))
 
+        if mesh is not None:
+            # no chunk_size: shard ONE scene's lattice into x-slabs over
+            # the device mesh, halos over ICI (SURVEY §5 north star;
+            # reference chunked-engine analog NKSR-USAGE.md:88-126)
+            if cfg.structure_mode == "splat":
+                return self._reconstruct_sharded(cfg, xyz, xyz_p, mask,
+                                                 feat, normal, mesh)
+            from ..utils.profiling import log_engine_demotion
+            log_engine_demotion(
+                "sharded-svh-solve", "single-device",
+                f"structure='{cfg.structure_mode}' is not sharded yet")
+
         if cfg.structure_mode in ("splat", "adaptive"):
             return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat,
                                           normal=normal)
@@ -443,10 +503,10 @@ class Reconstructor:
                 dec_caps=None if dec_grids is grids else dec_caps)
         else:
             plan = None
-        use_dense_unet = plan is not None and \
-            _os.environ.get("NKSR_DENSE_UNET", "0") == "1"
+        dense_unet = plan is not None and use_dense_unet(plan.spec, cfg)
+        self._last_unet_engine = "dense" if dense_unet else "sparse"
 
-        if use_dense_unet:
+        if dense_unet:
             # conv3d UNet on the solve lattice: no neighbor tables, no
             # gather convolutions (models/dense_unet.py)
             from ..models import dense_unet as DU
@@ -467,13 +527,20 @@ class Reconstructor:
             xyz_s[n:] = (plan.origins[0].astype(np.float64)
                          + np.asarray(plan.spec.dims[0]) + 8.0) \
                 * cfg.voxel_size
+            # host-computed base cells: device floor(xyz/vs) could
+            # round differently from the numpy floor the plan is built
+            # from; the plan's own sorted cells remove the hazard
+            base0_s = np.empty((cap_pts, 3), np.int32)
+            base0_s[:n] = HB.unpack64(orders[0][0])
+            base0_s[n:] = plan.origins[0] + np.asarray(
+                plan.spec.dims[0]) + 8
             feat_s = jnp.take(feat, jnp.asarray(perm_p), axis=0) \
                 if feat is not None else None
             basis_f, normal_f, struct_f, udf_f = _compiled_dense_unet(
                 cfg, plan.spec, True)(
                 self.network.params, jnp.asarray(plan.origins.astype(
                     np.int32)), dt, jnp.asarray(xyz_s), feat_s,
-                jnp.asarray(mask))
+                jnp.asarray(mask), jnp.asarray(base0_s))
             out = NetworkOutput(
                 basis_features=basis_f, normal_features=normal_f,
                 structure_features=struct_f, udf_features=udf_f)
@@ -506,7 +573,7 @@ class Reconstructor:
         input_normal = feat if cfg.feature == "normal" else None
         if plan is not None:
             spec = plan.spec
-            if use_dense_unet:
+            if dense_unet:
                 # dense prior: no host support tables at all — the solve
                 # scatters normals onto the lattice itself
                 prior_idx = jnp.asarray(plan.origins.astype(np.int32))
@@ -536,7 +603,7 @@ class Reconstructor:
             tm.lap("lattice plan")
             phase_key = tuple(map(tuple, plan.phase.tolist()))
             field = _compiled_lattice_solve(cfg, spec, phase_key,
-                                            dense_prior=use_dense_unet)(
+                                            dense_prior=dense_unet)(
                 self.network.params, jnp.asarray(xs), jnp.asarray(ms),
                 jnp.asarray(c0), jnp.asarray(dest),
                 jnp.asarray(plan.slot_cell_pt),
@@ -606,6 +673,119 @@ class Reconstructor:
         return HostField(
             field, cfg, dec_grids, dec_caps, cfg.adaptive_depth,
             udf_host=grids if cfg.udf_enabled else None, udf_caps=caps)
+
+    def _reconstruct_sharded(self, cfg, xyz, xyz_p, mask, feat, normal,
+                             mesh):
+        """ONE scene's lattice sharded into x-slabs across ``mesh``:
+        the network runs replicated on the global (slab-aligned) lattice,
+        the kernel solve runs distributed with per-CG-iteration halo
+        ppermutes (parallel/lattice_shard.py), and the result is the
+        same HostField (+ lattice evaluator) the single-device path
+        returns.  Falls back to the single-device path when the aligned
+        lattice does not fit."""
+        from ..core import host_build as HB
+        from ..fields import LayerField
+        from ..fields.kernel_field import KernelField
+        from ..fields.lattice_eval import LatticeEvalContext
+        from ..fields.support import InterpolatorFn
+        from ..models import dense_unet as DU
+        from ..models.network import Interpolators, NetworkOutput
+        from ..parallel import lattice_shard as LS
+        from ..utils.profiling import log_engine_demotion
+        from .host_field import HostField
+        from .host_predicted import _Timer
+
+        tm = _Timer()
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        grids, orders = HB.build_splat_grids_ex(
+            xyz, cfg.voxel_size, cfg.tree_depth)
+        caps = tuple(max(_next_pow2(int(len(g.keys) * 1.05)), 512)
+                     for g in grids)
+        cfg = dataclasses.replace(cfg, capacities=caps)
+        out = LS.plan_sharded(grids, caps, xyz, orders[0][0], orders[0][1],
+                              cfg.voxel_size, cfg.tree_depth,
+                              cfg.adaptive_depth, n_dev, k=cfg.kernel_dim)
+        if out is None:
+            log_engine_demotion("sharded-svh-solve", "single-device",
+                                "aligned lattice exceeds the dense budget")
+            return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat,
+                                          normal=normal)
+        plan, splan = out
+        spec = plan.spec
+        tm.lap("sharded plan")
+
+        # network feats on the global lattice (replicated; the solve is
+        # what shards).  Dense conv3d UNet only — beyond its budget we
+        # fall back entirely rather than mix engines.
+        if not use_dense_unet(spec, cfg):
+            return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat,
+                                          normal=normal)
+        self._last_unet_engine = "dense"
+        n, cap_pts = xyz.shape[0], xyz_p.shape[0]
+        dt = DU.build_tables(spec, plan.origins, grids, caps, grids, caps)
+        perm = orders[0][1]
+        perm_p = np.concatenate(
+            [perm, np.arange(n, cap_pts)]).astype(np.int32)
+        base0_s = np.empty((cap_pts, 3), np.int32)
+        base0_s[:n] = HB.unpack64(orders[0][0])
+        base0_s[n:] = plan.origins[0] + np.asarray(spec.dims[0]) + 8
+        xyz_s = np.zeros((cap_pts, 3), np.float32)
+        xyz_s[:n] = xyz[perm]
+        feat_s = jnp.take(feat, jnp.asarray(perm_p), axis=0) \
+            if feat is not None else None
+        basis_f, normal_f, _, udf_f = _compiled_dense_unet(
+            cfg, spec, True)(
+            self.network.params,
+            jnp.asarray(plan.origins.astype(np.int32)), dt,
+            jnp.asarray(xyz_s), feat_s, jnp.asarray(mask),
+            jnp.asarray(base0_s))
+        tm.lap("dispatch dense unet")
+
+        input_normal = feat if cfg.feature == "normal" else None
+        vox_cell = tuple(jnp.asarray(v) for v in plan.vox_cell)
+        vox_active = tuple(jnp.asarray(v) for v in plan.vox_active)
+        gr_t = _compiled_gr_targets(cfg, spec)(
+            normal_f, jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
+            jnp.asarray(plan.origins.astype(np.int32)), vox_cell,
+            vox_active)
+        tm.lap("gr targets")
+
+        with mesh:
+            parts = LS.sharded_lattice_solve(
+                mesh, splan,
+                self.network.params["params"]["interpolators"],
+                basis_f, gr_t,
+                voxel_size=cfg.voxel_size, pos_weight=cfg.pos_weight,
+                normal_weight=cfg.normal_weight,
+                reg_weight=cfg.reg_weight, tol=cfg.solver_tol,
+                max_iters=cfg.solver_max_iters,
+                approx_grad=cfg.approx_kernel_grad)
+        alphas = LS.gather_alphas(plan, splan, parts)
+        tm.lap("sharded solve + gather")
+
+        dec_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
+        interp = InterpolatorFn(
+            params={"params":
+                    self.network.params["params"]["interpolators"]},
+            module=Interpolators(depth=cfg.tree_depth,
+                                 kernel_dim=cfg.kernel_dim,
+                                 n_hidden=cfg.interp_layers,
+                                 hidden_dim=cfg.interp_hidden))
+        field = KernelField(
+            svh=dec_svh, features=basis_f, interp=interp,
+            alpha=tuple(jnp.asarray(a) for a in alphas),
+            kernel_dim=cfg.kernel_dim,
+            approx_kernel_grad=cfg.approx_kernel_grad)
+        field = field.set_mask_field(LayerField(dec_svh,
+                                                cfg.adaptive_depth))
+        ctx = LatticeEvalContext(
+            spec, plan.origins,
+            self.network.params["params"]["interpolators"],
+            basis_f, field.alpha, vox_cell, vox_active,
+            cfg.voxel_size, cfg.approx_kernel_grad,
+            compute_dtype=cfg.solver_compute_dtype)
+        return HostField(field, cfg, grids, caps, cfg.adaptive_depth,
+                         lattice_ctx=ctx)
 
     # -------------------------------------------------------------- helpers
     def _pick_voxel_size(self, xyz: np.ndarray,

@@ -59,7 +59,12 @@ class MeshEvaluator:
     THRESHOLDS = {"f-score": 0.01, "f-score-15": 0.015, "f-score-20": 0.02,
                   "f-score-02": 0.002, "f-score-outdoor": 0.1}
 
-    def __init__(self, n_points: int = 100000,
+    # reference sampling densities: 5e5 mesh samples for objects, 5e6
+    # for scenes with GT geometry (/root/reference/models/nksr_net.py:301-303)
+    N_POINTS_OBJECT = 500_000
+    N_POINTS_SCENE = 5_000_000
+
+    def __init__(self, n_points: int = N_POINTS_OBJECT,
                  metric_names: Sequence[str] = ESSENTIAL_METRICS,
                  seed: int = 0):
         self.n_points = n_points

@@ -38,7 +38,7 @@ def main():
                         DS.GT_DENSE_PC, DS.GT_DENSE_NORMAL],
                        **te.get("args", {}))
     recon = Reconstructor(config=pcfg, params=state.params)
-    ev = MeshEvaluator(n_points=100000)
+    ev = MeshEvaluator(n_points=500000)
     rows = []
     for i in range(min(len(ds), limit)):
         item = ds[i]

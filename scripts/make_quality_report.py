@@ -42,7 +42,7 @@ def main():
     te = cfg.get("test_dataset", cfg.get("val_dataset"))
     ds = build_dataset(te.get("name", "ShapeNet"), spec,
                        **te.get("args", {}))
-    ev = MeshEvaluator(n_points=100000)
+    ev = MeshEvaluator(n_points=500000)
 
     def run(params, structure, label):
         recon = Reconstructor(config=pcfg, params=params)

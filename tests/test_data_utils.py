@@ -365,6 +365,90 @@ class TestMetricsAndNative:
         _, rep2 = import_reference_state_dict(bad, params)
         assert rep2["interpolators"].startswith("skipped")
 
+    def test_wheel_import_dress_rehearsal_torch_modules(self):
+        """Full dress rehearsal with a REAL torch module tree: the
+        fixture is ``nn.ModuleList``/``nn.Sequential`` ``state_dict()``
+        output (true nested naming, true registration order, torch
+        tensors), and a successfully imported interpolator+decoder set
+        must CHANGE ``evaluate_f`` output (BASELINE.md north star:
+        published-checkpoint layouts loadable)."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from torch import nn
+
+        from nksr_tpu.models import pipeline as P
+        from nksr_tpu.recon.reconstructor import NetworkHandle, Reconstructor
+        from nksr_tpu.utils.checkpoint import (
+            import_reference_state_dict, looks_like_reference_state_dict)
+
+        cfg = P.PipelineConfig(capacities=(512, 256), tree_depth=2,
+                               f_maps=8, basis_dim=8, udf_dim=8,
+                               interp_hidden=16, interp_layers=2,
+                               kernel_dim=4)
+        params = P.init_params(cfg, jax.random.PRNGKey(0))
+
+        torch.manual_seed(7)
+
+        def mlp(sizes):
+            layers = []
+            for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
+                layers.append(nn.Linear(a, b))
+                if i < len(sizes) - 2:
+                    layers.append(nn.SiLU())
+            return nn.Sequential(*layers)
+
+        class WheelNet(nn.Module):
+            """Shape of the published-checkpoint module tree recovered
+            from the usage contract (/root/reference/models/nksr_net.py:
+            34-38,73-139): encoder/unet/interpolators/sdf/udf families."""
+
+            def __init__(self):
+                super().__init__()
+                self.encoder = nn.Sequential(nn.Linear(7, 8),
+                                             nn.Linear(8, 8))
+                self.unet = nn.ModuleDict(
+                    {"enc0": nn.Linear(8, 8), "dec0": nn.Linear(8, 8)})
+                self.interpolators = nn.ModuleList(
+                    [mlp([3 + 8, 16, 16, 4]) for _ in range(2)])
+                self.sdf_decoder = mlp([8, 16, 16, 1])
+                self.udf_decoder = mlp([8, 16, 16, 1])
+
+        sd = WheelNet().state_dict()   # true torch OrderedDict
+        assert "interpolators.0.0.weight" in sd       # ModuleList nesting
+        assert looks_like_reference_state_dict(sd)
+
+        new, report = import_reference_state_dict(sd, params)
+        assert report["interpolators"].startswith("mapped")
+        assert report["sdf_decoder"].startswith("mapped")
+        assert report["udf_decoder"].startswith("mapped")
+        assert report["encoder"].startswith("skipped")
+        assert report["unet"].startswith("skipped")
+        got = np.asarray(
+            new["params"]["interpolators"]["interp_1"]["Dense_0"]["kernel"])
+        np.testing.assert_allclose(
+            got, sd["interpolators.1.0.weight"].numpy().T, rtol=1e-6)
+
+        # the transplanted interpolators must change the FIELD: same
+        # input, same solve settings, different evaluate_f output
+        from test_field import sphere_points
+        xyz, nrm = sphere_points(400, r=0.5, seed=2)
+        probes = (xyz[:64] * 0.9).astype(np.float32)
+
+        def field_vals(p):
+            r = Reconstructor(config=cfg, params=p)
+            hf = r.reconstruct(xyz, nrm, voxel_size=0.12,
+                               detail_level=None, structure="splat",
+                               solver_max_iters=20)
+            return np.asarray(hf.evaluate_f(probes).value)
+
+        v_before = field_vals(params)
+        h = NetworkHandle(cfg, params)
+        h.load_state_dict(sd)
+        v_after = field_vals(h.params)
+        assert np.abs(v_before - v_after).max() > 1e-4, \
+            "imported interpolators did not change the field"
+
     def test_torch_state_dict_shim(self):
         import jax
         from nksr_tpu.models import pipeline as P

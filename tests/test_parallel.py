@@ -184,6 +184,53 @@ class TestShardedLattice:
             np.testing.assert_allclose(got[d], ref[d],
                                        atol=5e-3 * scale,
                                        err_msg=f"depth {d}")
+    def test_reconstruct_mesh_api_matches_single_device(self):
+        """User-reachable sharded solve: ``Reconstructor.reconstruct(...,
+        mesh=...)`` WITHOUT chunk_size shards ONE scene's lattice into
+        x-slabs (parallel/lattice_shard.py) and must agree with the
+        single-device reconstruction to solver tolerance — tiny-scale
+        quick-tier twin of test_sharded_solve_matches_single_device."""
+        from nksr_tpu import Reconstructor
+
+        n_dev = len(jax.devices())
+        mesh = PP.make_mesh(n_dev)
+        rng = np.random.default_rng(5)
+        n = 1200
+        xy = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        x = xy[:, 0] * 4.0
+        z = 0.25 * np.sin(2.0 * x) * np.cos(3.0 * xy[:, 1])
+        xyz = np.stack([x, xy[:, 1], z], 1).astype(np.float32)
+        dx = 0.5 * np.cos(2.0 * x) * np.cos(3.0 * xy[:, 1])
+        dy = -0.75 * np.sin(2.0 * x) * np.sin(3.0 * xy[:, 1])
+        nrm = np.stack([-dx, -dy, np.ones(n, np.float32)], 1)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=60,
+                               solver_tol=1e-7)
+        recon = Reconstructor(config=cfg)
+        kw = dict(voxel_size=0.1, detail_level=None, structure="splat")
+        hf_1 = recon.reconstruct(xyz, nrm.astype(np.float32), **kw)
+        hf_n = recon.reconstruct(xyz, nrm.astype(np.float32), mesh=mesh,
+                                 **kw)
+        assert recon._last_unet_engine == "dense"
+        assert hf_n.lattice_ctx is not None
+
+        probes = (xyz[rng.integers(0, n, 512)]
+                  + rng.normal(0, 0.05, (512, 3))).astype(np.float32)
+        v1 = hf_1.evaluate_f(probes).value
+        vn = hf_n.evaluate_f(probes).value
+        scale = max(float(np.abs(v1).max()), 1e-9)
+        np.testing.assert_allclose(vn, v1, atol=5e-3 * scale)
+
+        # the full user recipe runs: points -> sharded solve -> mesh
+        m1 = hf_1.extract_dual_mesh(mise_iter=1)
+        mn = hf_n.extract_dual_mesh(mise_iter=1)
+        assert abs(len(mn.v) - len(m1.v)) <= 0.01 * max(len(m1.v), 1)
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(m1.v).query(mn.v[:: max(len(mn.v) // 512, 1)])
+        assert d.max() < 0.05
+
     def test_halo_ring(self):
         from jax.sharding import PartitionSpec as PS
         from nksr_tpu.parallel.spatial import halo_exchange_1d
