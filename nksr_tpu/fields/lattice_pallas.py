@@ -156,8 +156,10 @@ def av0_cascade_pallas(spec, xs: Sequence[jnp.ndarray], dtype,
     for d in range(depth):
         xd, yd, zd = spec.dims[d]
         ny = (y0 >> d) + 1
+        # all dims must be Element (mixed Element/block specs are
+        # rejected by current Mosaic); the z*k dim reads the full range
         in_specs.append(pl.BlockSpec(
-            (pl.Element(2), pl.Element(ny), zd * k),
+            (pl.Element(2), pl.Element(ny), pl.Element(zd * k)),
             (lambda x, dd=d: (x >> dd, 0, 0)),
             memory_space=pltpu.VMEM))
     for d in range(depth):
@@ -192,8 +194,11 @@ def _kernel_adj(spec_dims, k: int, depth: int, upsample_mode, *refs):
         zc = zcs[d][:]                        # (zd*k, z0*2k)
         sy = y0 >> d
         ny = sy + 1
-        acc = jnp.zeros((2, ny, zc.shape[0]), jnp.float32)
+        # Mosaic has no scatter-add / pad primitives: build each i-row
+        # with static concats (j=0 occupies rows [0, sy), j=1 rows
+        # [1, sy+1)) and store with a static leading index.
         for i in (0, 1):
+            acc_i = None
             for j in (0, 1):
                 off = 8 * k * d + k * (4 * i + 2 * j)
                 p = zin[0, :, :, off:off + 2 * k].astype(jnp.float32)
@@ -204,11 +209,11 @@ def _kernel_adj(spec_dims, k: int, depth: int, upsample_mode, *refs):
                 c = jax.lax.dot_general(
                     p, zc, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (sy, zd*k)
-                pad_lo = j
-                pad_hi = ny - sy - j
-                c = jnp.pad(c, ((pad_lo, pad_hi), (0, 0)))
-                acc = acc.at[i].add(c)
-        outs[d][0] = acc
+                zrow = jnp.zeros((1, c.shape[-1]), jnp.float32)
+                full = jnp.concatenate(([c, zrow] if j == 0 else
+                                        [zrow, c]), axis=0)  # (ny, zdk)
+                acc_i = full if acc_i is None else acc_i + full
+            outs[d][0, i] = acc_i
 
 
 def av0_adjoint_cascade_pallas(spec, z0_buf: jnp.ndarray,

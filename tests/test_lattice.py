@@ -296,6 +296,62 @@ class TestPlan:
 
 
 class TestLatticeVsSparse:
+    def test_field_values_match_sparse_tiny(self, monkeypatch):
+        """Quick-tier twin of test_field_values_match_sparse: a tiny
+        sphere at depth 2 so the default pytest run exercises BOTH solve
+        engines (the slow tier holds the full-scale parity).
+
+        At this scale the redundant multilevel basis has near-null modes
+        the tiny regularizer barely pins, so the two converged CG
+        solutions differ deep inside the shape; what is engine-invariant
+        is the FIT — near-surface values and the extracted zero set —
+        so that is what this guard compares."""
+        cfg = P.PipelineConfig(tree_depth=2, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=400,
+                               solver_tol=1e-9)
+        recon = Reconstructor(config=cfg)
+        xyz, nrm = sphere_points(400, r=0.5, seed=41)
+        kw = dict(voxel_size=0.15, detail_level=None, structure="splat")
+
+        monkeypatch.setenv("NKSR_LATTICE", "1")
+        f_lat = recon.reconstruct(xyz, nrm, **kw)
+        monkeypatch.setenv("NKSR_LATTICE", "0")
+        f_sp = recon.reconstruct(xyz, nrm, **kw)
+
+        # near-surface field agreement, normalized by the off-surface
+        # field scale (the near-surface values themselves are ~0)
+        probe_near = np.asarray(sphere_points(80, r=0.49, seed=42)[0])
+        probe_off = np.asarray(sphere_points(80, r=0.42, seed=43)[0])
+        v_lat = np.asarray(f_lat.evaluate_f(probe_near).value)
+        v_sp = np.asarray(f_sp.evaluate_f(probe_near).value)
+        scale = np.abs(np.asarray(
+            f_sp.evaluate_f(probe_off).value)).mean() + 1e-6
+        assert np.abs(v_lat - v_sp).mean() / scale < 0.05
+
+        # user-visible parity: the two engines extract the same zero set
+        # (at this coarse scale both keep an outer trust shell — which
+        # must ALSO agree, so compare meshes to each other, plus a
+        # median-radius sanity check against the sphere)
+        m_lat = f_lat.extract_dual_mesh()
+        m_sp = f_sp.extract_dual_mesh()
+        for m in (m_lat, m_sp):
+            r = np.linalg.norm(np.asarray(m.v), axis=1)
+            assert len(m.v) > 50
+            assert abs(np.median(r) - 0.5) < 0.15 * 0.5  # half a voxel
+        # the SURFACE sheet must coincide across engines (the outer
+        # trust-shell sheet rides the near-null modes — excluded);
+        # compare vertex -> sampled-surface, not vertex -> vertex (the
+        # coarse mesh's vertex spacing is ~0.1)
+        from scipy.spatial import cKDTree
+        from nksr_tpu.utils.metrics import sample_mesh
+        v_l = np.asarray(m_lat.v)
+        near = np.abs(np.linalg.norm(v_l, axis=1) - 0.5) < 0.5 * 0.15
+        assert near.sum() > 50
+        surf_sp, _ = sample_mesh(np.asarray(m_sp.v), np.asarray(m_sp.f),
+                                 20000, np.random.default_rng(0))
+        d, _ = cKDTree(surf_sp).query(v_l[near])
+        assert d.max() < 0.5 * 0.15  # within half a voxel everywhere
+
     @pytest.mark.slow
     @pytest.mark.parametrize("approx_grad", [False, True])
     def test_field_values_match_sparse(self, approx_grad, monkeypatch):
