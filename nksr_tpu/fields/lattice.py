@@ -1033,16 +1033,18 @@ def lattice_solve(spec: LatticeSpec, interp,
     # per-depth coefficients.
     n_c0 = spec.n_cells(0)
 
-    if cascade_engine == "pallas":
+    if cascade_engine in ("pallas", "pallas-fwd"):
         from . import lattice_pallas as LP
         if not LP.supports(spec):
             cascade_engine = "xla"
-    if cascade_engine == "pallas":
+    if cascade_engine in ("pallas", "pallas-fwd"):
         fwd_cascade = functools.partial(LP.av0_cascade_pallas, spec)
+    else:
+        fwd_cascade = functools.partial(_av0_cascade, spec)
+    if cascade_engine == "pallas":
         adj_cascade = functools.partial(LP.av0_adjoint_cascade_pallas,
                                         spec)
     else:
-        fwd_cascade = functools.partial(_av0_cascade, spec)
         adj_cascade = functools.partial(_av0_adjoint_cascade, spec)
 
     def apply_A(xs):

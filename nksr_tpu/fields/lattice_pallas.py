@@ -73,12 +73,18 @@ def _y_upsample(y0: int, d: int) -> np.ndarray:
 def _kernel_fwd(spec_dims, k: int, depth: int, out_dtype, upsample_mode,
                 *refs):
     """pallas kernel body: refs = (in_0..in_{D-1}, zc_0..zc_{D-1},
-    out)."""
+    out_0..out_{4*depth-1}).
+
+    Each output is one PLANAR (1, y0, z0*2k) buffer per (depth, corner
+    group g = 2i+j) — stored whole, in one 2D store.  Mosaic cannot
+    shape-cast the (y0, z0*2k) -> (y0, z0, 2k) minor split needed to
+    interleave lanes in-kernel (and a per-z store loop makes Mosaic
+    compile time explode at bench shapes), so the final (cells_0,
+    lanes) interleave is ONE bandwidth-bound XLA pass in the caller."""
     ins = refs[:depth]
     zcs = refs[depth:2 * depth]
-    out = refs[2 * depth]
-    y0 = out.shape[1]
-    z0 = out.shape[2]
+    outs = refs[2 * depth:]
+    y0 = outs[0].shape[1]
     for d in range(depth):
         a3 = ins[d][:]                       # (2, ny_d, zd*k)
         zc = zcs[d][:]                       # (zd*k, z0*2k)
@@ -102,10 +108,7 @@ def _kernel_fwd(spec_dims, k: int, depth: int, out_dtype, upsample_mode,
                     p = jax.lax.dot_general(
                         u, c, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                # lanes are (z, l, kk): split z out to the sublane axis
-                p = p.reshape(y0, z0, 2 * k).astype(out_dtype)
-                off = 8 * k * d + k * (4 * i + 2 * j)
-                out[0, :, :, off:off + 2 * k] = p
+                outs[4 * d + 2 * i + j][0] = p.astype(out_dtype)
 
 
 def supports(spec) -> bool:
@@ -116,8 +119,12 @@ def supports(spec) -> bool:
     if y0 % (1 << (spec.depth - 1)):
         return False
     out_block = y0 * z0 * spec.lanes * 4          # f32 worst case
-    wins = sum(2 * ((y0 >> d) + 2) * spec.dims[d][2] * spec.k * 4
+    # coefficient windows are padded to ny%8 (Mosaic block constraint);
+    # the adjoint also keeps a (4, y0, z0*2k) f32 scratch resident
+    wins = sum(2 * (-8 * (-((y0 >> d) + 1) // 8) + 1)
+               * spec.dims[d][2] * spec.k * 4
                for d in range(spec.depth))
+    wins += 4 * y0 * z0 * 2 * spec.k * 4
     # v5e VMEM is large enough for a double-buffered bench-scale row
     # (6.7 MB f32); the bound below is validated by
     # scripts/measure_pallas_cascade.py on the chip
@@ -146,20 +153,26 @@ def av0_cascade_pallas(spec, xs: Sequence[jnp.ndarray], dtype,
     for d in range(depth):
         xd, yd, zd = spec.dims[d]
         # +1 zero row in x and y: the corner window of the last row
-        # reads one past the end (the XLA path's zero-shifted windows)
+        # reads one past the end (the XLA path's zero-shifted windows).
+        # y is padded further so the read WINDOW height is a multiple
+        # of 8 — Mosaic requires a block's second-to-last dim to be
+        # %8 (or the full array extent), and real plans' coarse dims
+        # carry margins so ny != yd+1 (bench: (408..)/(208..)).
+        ny8 = -8 * (-((y0 >> d) + 1) // 8)
+        ypad = max(yd + 1, ny8) - yd
         dense.append(jnp.pad(xs[d].reshape(xd, yd, zd * k),
-                             ((0, 1), (0, 1), (0, 0))))
+                             ((0, 1), (0, ypad), (0, 0))))
     zcs = [jnp.asarray(_z_expand(spec.dims[d][2], z0, k, d), jnp.float32)
            for d in range(depth)]
 
     in_specs = []
     for d in range(depth):
         xd, yd, zd = spec.dims[d]
-        ny = (y0 >> d) + 1
+        ny8 = -8 * (-((y0 >> d) + 1) // 8)
         # all dims must be Element (mixed Element/block specs are
         # rejected by current Mosaic); the z*k dim reads the full range
         in_specs.append(pl.BlockSpec(
-            (pl.Element(2), pl.Element(ny), pl.Element(zd * k)),
+            (pl.Element(2), pl.Element(ny8), pl.Element(zd * k)),
             (lambda x, dd=d: (x >> dd, 0, 0)),
             memory_space=pltpu.VMEM))
     for d in range(depth):
@@ -167,48 +180,54 @@ def av0_cascade_pallas(spec, xs: Sequence[jnp.ndarray], dtype,
 
     kern = functools.partial(_kernel_fwd, spec.dims, k, depth,
                              jnp.dtype(dtype), upsample_mode)
-    out = pl.pallas_call(
+    planes = pl.pallas_call(
         kern,
         grid=(x0,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, y0, z0, spec.lanes),
-                               lambda x: (x, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x0, y0, z0, spec.lanes),
-                                       jnp.dtype(dtype)),
+        out_specs=[pl.BlockSpec((1, y0, z0 * 2 * k),
+                                lambda x: (x, 0, 0),
+                                memory_space=pltpu.VMEM)] * (4 * depth),
+        out_shape=[jax.ShapeDtypeStruct((x0, y0, z0 * 2 * k),
+                                        jnp.dtype(dtype))] * (4 * depth),
         interpret=_auto_interpret(interpret),
     )(*dense, *zcs)
-    return out.reshape(spec.n_cells(0), spec.lanes)
+    # lane interleave (one fused XLA pass, ~2x the output bytes): plane
+    # (d, g) holds lanes [8kd + 2kg, 8kd + 2k(g+1)) of each cell — the
+    # concat order below IS the _av0_cascade lane order (_OFFS2)
+    av0 = jnp.concatenate(
+        [p.reshape(x0, y0, z0, 2 * k) for p in planes], axis=-1)
+    return av0.reshape(spec.n_cells(0), spec.lanes)
 
 
 # ------------------------------------------------------------- adjoint
 def _kernel_adj(spec_dims, k: int, depth: int, upsample_mode, *refs):
-    """Adjoint body: in (1, y0, z0, lanes) f32 -> per-depth halo blocks
-    (1, 2, ny_d, zd*k) f32 (block-private; caller folds halos)."""
-    zin = refs[0]
-    zcs = refs[1:1 + depth]
-    outs = refs[1 + depth:1 + 2 * depth]
-    y0 = zin.shape[1]
-    z0 = zin.shape[2]
+    """Adjoint body: 4*depth PLANAR inputs (1, y0, z0*2k) f32 (one per
+    (depth, corner group), de-interleaved from (cells_0, lanes) by one
+    XLA pass in the caller — the mirror of _kernel_fwd's output
+    layout) -> per-depth halo blocks (1, 2, ny_d, zd*k) f32
+    (block-private; caller folds halos)."""
+    planes = refs[:4 * depth]
+    zcs = refs[4 * depth:5 * depth]
+    outs = refs[5 * depth:]
+    y0 = planes[0].shape[1]
     for d in range(depth):
         zc = zcs[d][:]                        # (zd*k, z0*2k)
         sy = y0 >> d
-        ny = sy + 1
         # Mosaic has no scatter-add / pad primitives: build each i-row
         # with static concats (j=0 occupies rows [0, sy), j=1 rows
         # [1, sy+1)) and store with a static leading index.
         for i in (0, 1):
             acc_i = None
             for j in (0, 1):
-                off = 8 * k * d + k * (4 * i + 2 * j)
-                p = zin[0, :, :, off:off + 2 * k].astype(jnp.float32)
-                p = p.reshape(y0, z0 * 2 * k)
-                if d > 0:
-                    f = 1 << d
-                    p = p.reshape(sy, f, z0 * 2 * k).sum(axis=1)
+                p = planes[4 * d + 2 * i + j][0]   # (y0, z0*2k)
+                # contract z/corner first (K = z0*2k keeps the MXU
+                # busy), THEN y-downsample the small (y0, zd*k) result
                 c = jax.lax.dot_general(
                     p, zc, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (sy, zd*k)
+                    preferred_element_type=jnp.float32)  # (y0, zd*k)
+                if d > 0:
+                    f = 1 << d
+                    c = c.reshape(sy, f, c.shape[-1]).sum(axis=1)
                 zrow = jnp.zeros((1, c.shape[-1]), jnp.float32)
                 full = jnp.concatenate(([c, zrow] if j == 0 else
                                         [zrow, c]), axis=0)  # (ny, zdk)
@@ -223,13 +242,18 @@ def av0_adjoint_cascade_pallas(spec, z0_buf: jnp.ndarray,
     PACKED flat coefficient buffers (n_d*k/128, 128) f32."""
     depth, k = spec.depth, spec.k
     x0, y0, z0 = spec.dims[0]
-    zin = z0_buf.reshape(x0, y0, z0, spec.lanes)
+    # de-interleave (cells_0, lanes) into 4*depth planar buffers (one
+    # fused XLA pass; the mirror of av0_cascade_pallas's concat)
+    z4 = z0_buf.reshape(x0, y0, z0, spec.lanes).astype(jnp.float32)
+    planes = [
+        z4[..., 2 * k * g:2 * k * (g + 1)].reshape(x0, y0, z0 * 2 * k)
+        for g in range(4 * depth)]
     zcs = [jnp.asarray(_z_expand(spec.dims[d][2], z0, k, d), jnp.float32)
            for d in range(depth)]
 
-    in_specs = [pl.BlockSpec((1, y0, z0, spec.lanes),
-                             lambda x: (x, 0, 0, 0),
-                             memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((1, y0, z0 * 2 * k),
+                             lambda x: (x, 0, 0),
+                             memory_space=pltpu.VMEM)] * (4 * depth)
     for d in range(depth):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     out_specs, out_shapes = [], []
@@ -250,7 +274,7 @@ def av0_adjoint_cascade_pallas(spec, z0_buf: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_auto_interpret(interpret),
-    )(zin, *zcs)
+    )(*planes, *zcs)
 
     # fold halo blocks into dense per-depth lattices:
     #   dense[(x>>d)+i, (y>>d... already folded to)+j...] — x rows first

@@ -41,25 +41,45 @@ def resolve_solver_dtype(dt: str) -> str:
     return "float32" if jax.default_backend() == "cpu" else "bfloat16"
 
 
+def _probe_spec():
+    from ..fields import lattice as LAT
+    # non-nested dims on purpose: real plans carry coarse margins
+    # (bench: dims (408,...)/(208,...)), so the probe must exercise the
+    # window-padding path, not just power-of-two nesting
+    return LAT.LatticeSpec(
+        dims=((24, 24, 16), (14, 14, 8)), k=4, depth=2,
+        adaptive_depth=1, s_pt=8, p_rows=4, s_gr=8, n_pts_cap=8)
+
+
 @functools.lru_cache(maxsize=1)
-def _pallas_cascade_ok() -> bool:
+def _pallas_fwd_ok() -> bool:
     """One-time tiny on-device probe: does Mosaic compile+run the
-    cascade kernels here?  Keeps 'auto' safe on platforms where the
-    Pallas path is unavailable or regresses."""
+    forward cascade kernel here?  Keeps 'auto' safe on platforms where
+    the Pallas path is unavailable or regresses."""
     try:
-        from ..fields import lattice as LAT
         from ..fields import lattice_pallas as LP
-        spec = LAT.LatticeSpec(
-            dims=((16, 16, 8), (8, 8, 8)), k=4, depth=2,
-            adaptive_depth=1, s_pt=8, p_rows=4, s_gr=8, n_pts_cap=8)
+        spec = _probe_spec()
         xs = tuple(jnp.zeros((spec.n_cells(d) * 4 // 128, 128))
                    for d in range(2))
-        out = LP.av0_cascade_pallas(spec, xs, jnp.float32,
-                                    interpret=False)
-        LP.av0_adjoint_cascade_pallas(
+        np.asarray(LP.av0_cascade_pallas(spec, xs, jnp.float32,
+                                         interpret=False))
+        return True
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_adj_ok() -> bool:
+    """Same one-time probe for the adjoint cascade kernel (probed
+    separately: the two kernels stress different Mosaic features, and a
+    hybrid Pallas-forward/XLA-adjoint matvec is still a win)."""
+    try:
+        from ..fields import lattice_pallas as LP
+        spec = _probe_spec()
+        out = LP.av0_adjoint_cascade_pallas(
             spec, jnp.zeros((spec.n_cells(0), spec.lanes)),
             interpret=False)
-        np.asarray(out)
+        np.asarray(out[0])
         return True
     except Exception:
         return False
@@ -67,15 +87,22 @@ def _pallas_cascade_ok() -> bool:
 
 def resolve_cascade_engine(eng: str) -> str:
     """'auto' -> the Pallas one-pass cascade on TPU backends (Mosaic),
-    the XLA shift/upsample chain on CPU.  NKSR_CASCADE overrides."""
+    the XLA shift/upsample chain on CPU; 'pallas-fwd' (Pallas forward +
+    XLA adjoint) when only the forward kernel compiles.  NKSR_CASCADE
+    overrides."""
     eng = os.environ.get("NKSR_CASCADE", eng)
     if eng != "auto":
         return eng
     if jax.default_backend() == "cpu":
         return "xla"
-    if _pallas_cascade_ok():
-        return "pallas"
     from ..utils.profiling import log_engine_demotion
+    if _pallas_fwd_ok():
+        if _pallas_adj_ok():
+            return "pallas"
+        log_engine_demotion(
+            "pallas-cascade", "pallas-fwd+xla-adjoint",
+            "Mosaic probe failed on the adjoint kernel")
+        return "pallas-fwd"
     log_engine_demotion("pallas-cascade", "xla-cascade",
                         "Mosaic probe failed on this backend")
     return "xla"
