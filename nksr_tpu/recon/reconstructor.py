@@ -51,21 +51,51 @@ def _probe_spec():
         adaptive_depth=1, s_pt=8, p_rows=4, s_gr=8, n_pts_cap=8)
 
 
+def _probe_once(fn) -> Exception | None:
+    """Run one probe attempt; None on success, the exception on failure.
+    Retried once by the cached wrappers: a transient platform hiccup
+    (compile-RPC timeout on the tunneled TPU, host-CPU starvation) must
+    not silently demote the engine for the whole process.
+
+    The probe MUST run outside any jit trace (callers resolve engines
+    eagerly, at factory time): probing while tracing stages the probe's
+    ops into the enclosing trace and fails spuriously — which is how the
+    cascade silently demoted to XLA on exactly the path the probe exists
+    to accelerate."""
+    from jax._src import core as _core
+    if not isinstance(getattr(_core.trace_ctx, "trace", None),
+                      _core.EvalTrace):
+        return RuntimeError(
+            "engine probe reached inside a jit trace — resolve engines "
+            "eagerly before tracing")
+    try:
+        fn()
+        return None
+    except Exception as e:   # noqa: BLE001 — probe must never raise
+        return e
+
+
 @functools.lru_cache(maxsize=1)
 def _pallas_fwd_ok() -> bool:
     """One-time tiny on-device probe: does Mosaic compile+run the
     forward cascade kernel here?  Keeps 'auto' safe on platforms where
     the Pallas path is unavailable or regresses."""
-    try:
-        from ..fields import lattice_pallas as LP
-        spec = _probe_spec()
+    from ..fields import lattice_pallas as LP
+    spec = _probe_spec()
+
+    def run():
         xs = tuple(jnp.zeros((spec.n_cells(d) * 4 // 128, 128))
                    for d in range(2))
         np.asarray(LP.av0_cascade_pallas(spec, xs, jnp.float32,
                                          interpret=False))
-        return True
-    except Exception:
+
+    err = _probe_once(run)
+    if err is not None:
+        err = _probe_once(run)   # one retry for transient failures
+    if err is not None:
+        _pallas_fwd_ok.last_error = f"{type(err).__name__}: {err}"[:300]
         return False
+    return True
 
 
 @functools.lru_cache(maxsize=1)
@@ -73,16 +103,22 @@ def _pallas_adj_ok() -> bool:
     """Same one-time probe for the adjoint cascade kernel (probed
     separately: the two kernels stress different Mosaic features, and a
     hybrid Pallas-forward/XLA-adjoint matvec is still a win)."""
-    try:
-        from ..fields import lattice_pallas as LP
-        spec = _probe_spec()
+    from ..fields import lattice_pallas as LP
+    spec = _probe_spec()
+
+    def run():
         out = LP.av0_adjoint_cascade_pallas(
             spec, jnp.zeros((spec.n_cells(0), spec.lanes)),
             interpret=False)
         np.asarray(out[0])
-        return True
-    except Exception:
+
+    err = _probe_once(run)
+    if err is not None:
+        err = _probe_once(run)
+    if err is not None:
+        _pallas_adj_ok.last_error = f"{type(err).__name__}: {err}"[:300]
         return False
+    return True
 
 
 def resolve_cascade_engine(eng: str) -> str:
@@ -101,10 +137,12 @@ def resolve_cascade_engine(eng: str) -> str:
             return "pallas"
         log_engine_demotion(
             "pallas-cascade", "pallas-fwd+xla-adjoint",
-            "Mosaic probe failed on the adjoint kernel")
+            "Mosaic probe failed on the adjoint kernel: "
+            + getattr(_pallas_adj_ok, "last_error", "?"))
         return "pallas-fwd"
     log_engine_demotion("pallas-cascade", "xla-cascade",
-                        "Mosaic probe failed on this backend")
+                        "Mosaic probe failed on this backend: "
+                        + getattr(_pallas_fwd_ok, "last_error", "?"))
     return "xla"
 
 
@@ -221,6 +259,9 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
     # STATIC phase (keyed into the jit cache): keeps the AV0 upsample
     # chain fusable — see fields.lattice._upsample_to_0
     phase = np.asarray(phase_key, np.int32)
+    # resolve the engine EAGERLY, before jit traces fn: the Mosaic probe
+    # cannot run inside a trace (see _probe_once)
+    cascade_eng = resolve_cascade_engine(cfg.cascade_engine)
 
     def fn(params, xyz_sorted, mask_sorted, pt_cell0, pt_dest,
            slot_cells_pt, slot_cells_gr, slot_cell0_pt, slot_cell0_gr,
@@ -266,7 +307,7 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
             gr_perm=gr_perm,
             phase=phase, compute_dtype=cfg.solver_compute_dtype,
             formulation=cfg.solver_formulation,
-            cascade_engine=resolve_cascade_engine(cfg.cascade_engine))
+            cascade_engine=cascade_eng)
         field = KernelField(
             svh=dec_svh, features=basis_feats, interp=interp,
             alpha=alphas, kernel_dim=cfg.kernel_dim,
