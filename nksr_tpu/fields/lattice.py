@@ -1035,7 +1035,12 @@ def lattice_solve(spec: LatticeSpec, interp,
 
     if cascade_engine in ("pallas", "pallas-fwd"):
         from . import lattice_pallas as LP
-        if not LP.supports(spec):
+        if not LP.supports(spec, cdt):
+            from ..utils.profiling import log_engine_demotion
+            log_engine_demotion(
+                "pallas-cascade", "xla-cascade",
+                f"plan {spec.dims[0]} x depth {spec.depth} exceeds the "
+                "kernel's static feasibility bounds (supports())")
             cascade_engine = "xla"
     if cascade_engine in ("pallas", "pallas-fwd"):
         fwd_cascade = functools.partial(LP.av0_cascade_pallas, spec)
@@ -1043,7 +1048,7 @@ def lattice_solve(spec: LatticeSpec, interp,
         fwd_cascade = functools.partial(_av0_cascade, spec)
     if cascade_engine == "pallas":
         adj_cascade = functools.partial(LP.av0_adjoint_cascade_pallas,
-                                        spec)
+                                        spec, compute_dtype=cdt)
     else:
         adj_cascade = functools.partial(_av0_adjoint_cascade, spec)
 
