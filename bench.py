@@ -106,7 +106,15 @@ def main():
     total = tr + tm
 
     extra = {"unet": getattr(recon, "_last_unet_engine", "unknown")}
-    ckpt = os.environ.get("NKSR_BENCH_CKPT", "runs/synth_tpu/last.ckpt")
+    ckpt = os.environ.get("NKSR_BENCH_CKPT")
+    if ckpt is None:   # newest committed checkpoint wins
+        for cand in ("runs/synth_r3c/best.ckpt", "runs/synth_r3c/last.ckpt",
+                     "runs/synth_tpu/last.ckpt"):
+            if os.path.exists(cand):
+                ckpt = cand
+                break
+        else:
+            ckpt = "runs/synth_tpu/last.ckpt"
     if os.path.exists(ckpt):
         # predicted-structure path (the reference default) with trained
         # weights, AT THE CHECKPOINT'S OWN OPERATING POINT: its trained
