@@ -120,6 +120,10 @@ def main():
         # weights, AT THE CHECKPOINT'S OWN OPERATING POINT: its trained
         # voxel size (runs/synth_tpu/config.yaml), on a terrain patch
         # dense enough for that resolution
+        st = os.stat(ckpt)
+        extra["ckpt"] = ckpt            # weight provenance: results from
+        extra["ckpt_mtime"] = int(st.st_mtime)  # different workspaces
+        extra["ckpt_bytes"] = st.st_size        # must be comparable
         try:
             import jax
             from nksr_tpu.train import driver, loop as T

@@ -175,19 +175,32 @@ def _kernel_fwd(depth: int, h: int, out_dtype, *refs):
                 out[0] += b                  # disjoint lanes: exact
 
 
+def _check_h_override(spec, h: int) -> int:
+    """Validate a test-only y-block-height override (must divide y0 and
+    respect the sublane/upsample alignment `_pick_h` enforces)."""
+    y0 = spec.dims[0][1]
+    align = max(8, 1 << (spec.depth - 1))
+    if y0 % h or h % align:
+        raise ValueError(f"h_override {h} invalid for y0={y0}, "
+                         f"align={align}")
+    return h
+
+
 def av0_cascade_pallas(spec, xs: Sequence[jnp.ndarray], dtype,
-                       interpret=None) -> jnp.ndarray:
+                       interpret=None, h_override=None) -> jnp.ndarray:
     """Fused (cells_0, depth*8k) support buffer — Pallas engine.
 
     ``xs``: per-depth PACKED flat coefficients (n_d*k/128, 128) (same
     convention as `_av0_cascade`).  Returns (cells_0, lanes) in
-    ``dtype``.
+    ``dtype``.  ``h_override`` (tests only) forces the y-block height so
+    the multi-block path (nyb>1) is reachable on small specs.
     """
     depth, k = spec.depth, spec.k
     x0, y0, z0 = spec.dims[0]
     W = z0 * spec.lanes
     cdt = jnp.dtype(dtype)
-    h = _pick_h(spec, cdt.itemsize, cdt.itemsize)
+    h = _pick_h(spec, cdt.itemsize, cdt.itemsize) \
+        if h_override is None else _check_h_override(spec, h_override)
     if h is None or (W % 128) or x0 % (1 << (depth - 1)):
         raise ValueError("plan shape unsupported by the Pallas cascade "
                          "(gate with supports())")
@@ -264,7 +277,8 @@ def _kernel_adj(depth: int, h: int, zdks: Tuple[int, ...], *refs):
 
 
 def av0_adjoint_cascade_pallas(spec, z0_buf: jnp.ndarray,
-                               interpret=None, compute_dtype=None
+                               interpret=None, compute_dtype=None,
+                               h_override=None
                                ) -> Tuple[jnp.ndarray, ...]:
     """Adjoint of ``av0_cascade_pallas``: (cells_0, lanes) -> per-depth
     PACKED flat coefficient buffers (n_d*k/128, 128) f32.
@@ -272,13 +286,15 @@ def av0_adjoint_cascade_pallas(spec, z0_buf: jnp.ndarray,
     ``compute_dtype``: dtype z is read at inside the kernel (the solve
     passes its cdt; bf16 halves the dominant HBM read and matches the
     forward's bf16 placement rounding).  Accumulation is always f32.
+    ``h_override``: tests only — see ``av0_cascade_pallas``.
     """
     depth, k = spec.depth, spec.k
     x0, y0, z0 = spec.dims[0]
     W = z0 * spec.lanes
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None \
         else z0_buf.dtype
-    h = _pick_h(spec, cdt.itemsize, cdt.itemsize)
+    h = _pick_h(spec, cdt.itemsize, cdt.itemsize) \
+        if h_override is None else _check_h_override(spec, h_override)
     if h is None or (W % 128) or x0 % (1 << (depth - 1)):
         raise ValueError("plan shape unsupported by the Pallas cascade "
                          "(gate with supports())")

@@ -7,11 +7,15 @@ instead: each chip owns a slab of space plus a halo wide enough for the
 kernel support + dual-MC stencil, reconstructs its slab locally, and only
 the halo features ride ICI.
 
-Round-1 scope: shard a *batch of chunks* across the mesh with shard_map —
-each device runs the full single-chunk pipeline on its own chunk(s) (the
-chunks are independent by construction because the host chunker already
-adds geometric halos, chunking.py).  True halo exchange of SVH features
-via ppermute is the planned next step and has a stub here.
+Two tiers live under this package:
+
+- this module: shard a *batch of chunks* across the mesh with shard_map —
+  each device runs the full single-chunk pipeline on its own chunk(s)
+  (the chunks are independent by construction because the host chunker
+  already adds geometric halos, chunking.py);
+- ``lattice_shard.py``: ONE lattice solve sharded in x-slabs with true
+  per-CG-iteration halo exchange over ``ppermute`` (forward + adjoint)
+  — reachable from ``Reconstructor.reconstruct(..., mesh=...)``.
 """
 
 from __future__ import annotations

@@ -62,9 +62,16 @@ def _probe_once(fn) -> Exception | None:
     ops into the enclosing trace and fails spuriously — which is how the
     cascade silently demoted to XLA on exactly the path the probe exists
     to accelerate."""
-    from jax._src import core as _core
-    if not isinstance(getattr(_core.trace_ctx, "trace", None),
-                      _core.EvalTrace):
+    try:
+        from jax._src import core as _core
+        tr = getattr(_core.trace_ctx, "trace", None)
+        # tr is None when the private API drifted (.trace renamed):
+        # treat as eager and let the probe itself decide, rather than
+        # permanently reporting in-trace
+        in_trace = tr is not None and not isinstance(tr, _core.EvalTrace)
+    except Exception:   # trace_ctx itself renamed — same policy
+        in_trace = False
+    if in_trace:
         return RuntimeError(
             "engine probe reached inside a jit trace — resolve engines "
             "eagerly before tracing")
