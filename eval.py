@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--run_dir", default="runs/eval")
     ap.add_argument("--exec", nargs="*", default=[], dest="execs")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--focus", default=None,
+                    help="evaluate ONLY the sample(s) whose index or "
+                         "shape-name contains this string — the "
+                         "single-batch debugging workflow of the "
+                         "reference (models/base_model.py:362-384)")
     ap.add_argument("--mise_iter", type=int, default=1)
     ap.add_argument("--upsample", type=int, default=1)
     ap.add_argument("--save_meshes", action="store_true")
@@ -57,7 +62,17 @@ def main():
     evaluator = MeshEvaluator(n_points=args.eval_points)
     rows = []
     n = min(len(ds), args.limit) if args.limit else len(ds)
-    for i in range(n):
+    indices = list(range(n))
+    if args.focus is not None:
+        if args.focus.isdigit():
+            indices = [int(args.focus)]
+        else:   # match on shape name (needs a cheap name peek per item)
+            indices = [i for i in indices
+                       if args.focus in str(ds[i][DS.SHAPE_NAME])]
+        if not indices:
+            raise SystemExit(f"--focus {args.focus!r} matched no sample")
+        n = len(indices)
+    for j, i in enumerate(indices):
         item = ds[i]
         batch = to_device_batch(item, cfg.get("point_bucket"),
                                 cfg.get("gt_bucket"))
@@ -74,7 +89,7 @@ def main():
                                 onet_samples=item.get(DS.GT_ONET_SAMPLE))
         m["source"] = item[DS.SHAPE_NAME]
         rows.append(m)
-        print(f"[{i + 1}/{n}] {m['source']}: " +
+        print(f"[{j + 1}/{n}] {m['source']}: " +
               ", ".join(f"{k}={v:.4f}" for k, v in m.items()
                         if isinstance(v, float)), flush=True)
         if args.save_meshes:

@@ -36,18 +36,24 @@ def _next_pow2(n: int) -> int:
     return 1 << max(8, int(math.ceil(math.log2(max(n, 1)))))
 
 
-def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
-                                xyz: np.ndarray, xyz_p: np.ndarray,
-                                mask: np.ndarray, feat
-                                ) -> Optional[HostField]:
-    """Returns the reconstructed HostField, or None when the dense route
-    does not apply (lattice budget exceeded / empty hierarchy / fully
-    pruned prediction) — callers fall back to the host-orchestrated
-    route, which owns the warning/empty-field semantics."""
-    from ..fields.lattice import plan_lattice
-    from ..fields.lattice_eval import LatticeEvalContext
+class PredictedParts:
+    """Everything the structure-predicting forward produces before the
+    final solve: decoder/candidate grids + head features.  Shared by the
+    single-device tail (`reconstruct_predicted_dense`) and the sharded
+    tail (`reconstruct_predicted_sharded`)."""
+    __slots__ = ("cfg", "grids", "orders", "caps", "dec_host", "dec_caps",
+                 "cand_host", "cand_caps", "dec_cells", "cand_cells",
+                 "basis_f", "normal_f", "udf_f", "tm")
+
+
+def predicted_structures(params, cfg: P.PipelineConfig, xyz: np.ndarray,
+                         xyz_p: np.ndarray, mask: np.ndarray, feat
+                         ) -> Optional[PredictedParts]:
+    """Run the in-graph structure-predicting forward + head dispatch;
+    None when the dense route does not apply (lattice budget exceeded /
+    empty hierarchy / fully pruned prediction)."""
     from .host_predicted import _Timer
-    from .reconstructor import _compiled_lattice_solve, resolve_solver_dtype
+    from .reconstructor import resolve_solver_dtype
 
     cfg = dataclasses.replace(cfg, solver_compute_dtype=resolve_solver_dtype(
         cfg.solver_compute_dtype))
@@ -131,6 +137,40 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
         params, gs, dc, da, cc, ca)
     tm.lap("dispatch heads")
 
+    parts = PredictedParts()
+    parts.cfg = cfg
+    parts.grids, parts.orders, parts.caps = grids, orders, caps
+    parts.dec_host, parts.dec_caps = dec_host, dec_caps
+    parts.cand_host, parts.cand_caps = cand_host, cand_caps
+    parts.dec_cells, parts.cand_cells = dec_cells_np, cand_cells_np
+    parts.basis_f, parts.normal_f, parts.udf_f = basis_f, normal_f, udf_f
+    parts.tm = tm
+    return parts
+
+
+def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
+                                xyz: np.ndarray, xyz_p: np.ndarray,
+                                mask: np.ndarray, feat
+                                ) -> Optional[HostField]:
+    """Returns the reconstructed HostField, or None when the dense route
+    does not apply (lattice budget exceeded / empty hierarchy / fully
+    pruned prediction) — callers fall back to the host-orchestrated
+    route, which owns the warning/empty-field semantics."""
+    from ..fields.lattice import plan_lattice
+    from ..fields.lattice_eval import LatticeEvalContext
+    from .reconstructor import _compiled_lattice_solve
+
+    parts = predicted_structures(params, cfg, xyz, xyz_p, mask, feat)
+    if parts is None:
+        return None
+    cfg, tm = parts.cfg, parts.tm
+    D = cfg.tree_depth
+    n, cap_pts = xyz.shape[0], xyz_p.shape[0]
+    grids, orders, caps = parts.grids, parts.orders, parts.caps
+    dec_host, dec_caps = parts.dec_host, parts.dec_caps
+    cand_host, cand_caps = parts.cand_host, parts.cand_caps
+    basis_f, normal_f, udf_f = parts.basis_f, parts.normal_f, parts.udf_f
+
     plan = plan_lattice(grids, caps, xyz, orders[0][0], orders[0][1],
                         cfg.voxel_size, D, cfg.adaptive_depth,
                         k=cfg.kernel_dim, dec_grids=dec_host,
@@ -187,6 +227,99 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
     return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth,
                      udf_host=cand_host if cfg.udf_enabled else None,
                      udf_caps=tuple(cand_caps), lattice_ctx=ctx)
+
+
+def reconstruct_predicted_sharded(params, cfg: P.PipelineConfig,
+                                  xyz: np.ndarray, xyz_p: np.ndarray,
+                                  mask: np.ndarray, feat, mesh
+                                  ) -> Optional[HostField]:
+    """Predicted-structure reconstruction with the FINAL SOLVE sharded
+    in x-slabs over ``mesh`` (parallel/lattice_shard.py) — the predicted
+    plan rides the same sharded lattice engine as the splat plan.  The
+    structure-predicting forward runs replicated (it is one dense jit at
+    UNet scale; the solve is what dominates and what shards).  Returns
+    None when the dense route or the sharded plan does not apply —
+    callers fall back to the single-device predicted path."""
+    from ..fields import LayerField, NeuralField, DecoderFn
+    from ..fields.kernel_field import KernelField
+    from ..fields.lattice_eval import LatticeEvalContext
+    from ..fields.support import InterpolatorFn
+    from ..models.network import Interpolators, MLP
+    from ..parallel import lattice_shard as LS
+    from .reconstructor import _compiled_gr_targets
+
+    parts = predicted_structures(params, cfg, xyz, xyz_p, mask, feat)
+    if parts is None:
+        return None
+    cfg, tm = parts.cfg, parts.tm
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    out = LS.plan_sharded(parts.grids, parts.caps, xyz,
+                          parts.orders[0][0], parts.orders[0][1],
+                          cfg.voxel_size, cfg.tree_depth,
+                          cfg.adaptive_depth, n_dev, k=cfg.kernel_dim,
+                          dec_grids=parts.dec_host,
+                          dec_caps=parts.dec_caps)
+    if out is None:
+        return None
+    plan, splan = out
+    spec = plan.spec
+    tm.lap("sharded plan")
+
+    input_normal = feat if cfg.feature == "normal" else None
+    vox_cell = tuple(jnp.asarray(v) for v in plan.vox_cell)
+    vox_active = tuple(jnp.asarray(v) for v in plan.vox_active)
+    gr_t = _compiled_gr_targets(cfg, spec)(
+        parts.normal_f, jnp.asarray(xyz_p), jnp.asarray(mask),
+        input_normal, jnp.asarray(plan.origins.astype(np.int32)),
+        vox_cell, vox_active)
+    tm.lap("gr targets")
+
+    with mesh:
+        alpha_parts = LS.sharded_lattice_solve(
+            mesh, splan, params["params"]["interpolators"],
+            parts.basis_f, gr_t,
+            voxel_size=cfg.voxel_size, pos_weight=cfg.pos_weight,
+            normal_weight=cfg.normal_weight, reg_weight=cfg.reg_weight,
+            tol=cfg.solver_tol, max_iters=cfg.solver_max_iters,
+            approx_grad=cfg.approx_kernel_grad)
+    alphas = LS.gather_alphas(plan, splan, alpha_parts)
+    tm.lap("sharded solve + gather")
+
+    dec_svh = HB.to_device_svh(parts.dec_host, parts.dec_caps,
+                               cfg.voxel_size)
+    interp = InterpolatorFn(
+        params={"params": params["params"]["interpolators"]},
+        module=Interpolators(depth=cfg.tree_depth,
+                             kernel_dim=cfg.kernel_dim,
+                             n_hidden=cfg.interp_layers,
+                             hidden_dim=cfg.interp_hidden))
+    field = KernelField(
+        svh=dec_svh, features=parts.basis_f, interp=interp,
+        alpha=tuple(jnp.asarray(a) for a in alphas),
+        kernel_dim=cfg.kernel_dim,
+        approx_kernel_grad=cfg.approx_kernel_grad)
+    if cfg.udf_enabled:
+        udf_svh = HB.to_device_svh(parts.cand_host, parts.cand_caps,
+                                   cfg.voxel_size)
+        udf_dec = DecoderFn(
+            params={"params": params["params"]["udf_decoder"]},
+            module=MLP(hidden=(2 * cfg.udf_dim,) * 2, out=1))
+        mf = NeuralField(svh=udf_svh, features=parts.udf_f,
+                         decoder=udf_dec)
+        mf = mf.set_level_set(2.0 * cfg.voxel_size)
+    else:
+        mf = LayerField(dec_svh, cfg.adaptive_depth)
+    field = field.set_mask_field(mf)
+    ctx = LatticeEvalContext(
+        spec, plan.origins, params["params"]["interpolators"],
+        parts.basis_f, field.alpha, vox_cell, vox_active,
+        cfg.voxel_size, cfg.approx_kernel_grad,
+        compute_dtype=cfg.solver_compute_dtype)
+    return HostField(field, cfg, parts.dec_host, parts.dec_caps,
+                     cfg.adaptive_depth,
+                     udf_host=parts.cand_host if cfg.udf_enabled else None,
+                     udf_caps=tuple(parts.cand_caps),
+                     lattice_ctx=ctx)
 
 
 def HostGrid_sorted(coords: np.ndarray, voxel_size: float) -> HB.HostGrid:

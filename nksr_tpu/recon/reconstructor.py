@@ -508,10 +508,20 @@ class Reconstructor:
             if cfg.structure_mode == "splat":
                 return self._reconstruct_sharded(cfg, xyz, xyz_p, mask,
                                                  feat, normal, mesh)
+            if cfg.structure_mode == "predicted":
+                # the predicted plan rides the same sharded lattice
+                # engine as the splat plan (predicted_dense.py)
+                from .predicted_dense import reconstruct_predicted_sharded
+                f = reconstruct_predicted_sharded(
+                    self.network.params, cfg, xyz, xyz_p, mask, feat,
+                    mesh)
+                if f is not None:
+                    return f
             from ..utils.profiling import log_engine_demotion
             log_engine_demotion(
                 "sharded-svh-solve", "single-device",
-                f"structure='{cfg.structure_mode}' is not sharded yet")
+                f"structure='{cfg.structure_mode}' solve not sharded "
+                "(unsupported structure mode or oversized plan)")
 
         if cfg.structure_mode in ("splat", "adaptive"):
             return self._reconstruct_host(cfg, xyz, xyz_p, mask, feat,

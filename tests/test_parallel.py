@@ -231,6 +231,60 @@ class TestShardedLattice:
         d, _ = cKDTree(m1.v).query(mn.v[:: max(len(mn.v) // 512, 1)])
         assert d.max() < 0.05
 
+    def test_reconstruct_mesh_api_predicted_matches_single_device(self):
+        """The predicted-structure route's FINAL SOLVE sharded over the
+        mesh (predicted_dense.reconstruct_predicted_sharded) must agree
+        with the single-device predicted reconstruction — the predicted
+        plan rides the same sharded lattice engine as the splat plan
+        (round-3 verdict item #6)."""
+        from nksr_tpu import Reconstructor
+
+        from test_field import sphere_points
+
+        n_dev = len(jax.devices())
+        mesh = PP.make_mesh(n_dev)
+        rng = np.random.default_rng(6)
+        xyz, nrm = sphere_points(1500, r=0.5, seed=31)
+        n = xyz.shape[0]
+
+        # 200 iters: at 60 the two routes' CG iterates still differ by
+        # ~1.5% of the field scale (measured); converged, the residual
+        # drift is 8e-4 of scale — the tolerance below has 6x margin
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=200,
+                               solver_tol=1e-7)
+        # boost the structure head so the untrained prediction keeps a
+        # non-empty decoder hierarchy (same recipe as
+        # tests/test_predicted_dense.py's fixture)
+        params = P.init_params(cfg, jax.random.PRNGKey(3))
+
+        def boost(path, leaf):
+            ps = jax.tree_util.keystr(path)
+            if "struct_" in ps and "kernel" in ps:
+                return leaf * 30.0
+            if "struct_" in ps and "bias" in ps:
+                # refine-heavy: coarse levels subdivide, so the decoder
+                # hierarchy reaches depth 0 and the solve has gradient
+                # rows (a keep-only bias leaves depth<adaptive_depth
+                # empty -> zero field -> vacuous parity)
+                return jnp.asarray([0.0, 0.5, 3.0], leaf.dtype)
+            return leaf
+        params = jax.tree_util.tree_map_with_path(boost, params)
+        recon = Reconstructor(config=cfg, params=params)
+        kw = dict(voxel_size=0.12, detail_level=None,
+                  structure="predicted")
+        hf_1 = recon.reconstruct(xyz, nrm, **kw)
+        hf_n = recon.reconstruct(xyz, nrm, mesh=mesh, **kw)
+        assert hf_n.lattice_ctx is not None
+
+        probes = (xyz[rng.integers(0, n, 512)]
+                  + rng.normal(0, 0.05, (512, 3))).astype(np.float32)
+        v1 = hf_1.evaluate_f(probes).value
+        vn = hf_n.evaluate_f(probes).value
+        scale = float(np.abs(v1).max())
+        assert scale > 1e-6   # non-vacuous: the field must be nonzero
+        np.testing.assert_allclose(vn, v1, atol=5e-3 * scale)
+
     def test_halo_ring(self):
         from jax.sharding import PartitionSpec as PS
         from nksr_tpu.parallel.spatial import halo_exchange_1d
