@@ -305,6 +305,12 @@ def fit(cfg: Config, train_loader: Iterable, val_loader: Optional[Iterable],
 
     best_val = float("inf")
     step = start_step
+    window = []       # per-step losses since the last log: the logged
+    #                   train/ rows are WINDOW MEANS, not single-sample
+    #                   snapshots (per-sample loss variance across shape
+    #                   categories made snapshot curves look unstable —
+    #                   r3c's gt-surface-normal ranged 0.13..6.9 between
+    #                   adjacent logged steps from sampling alone)
     t0 = time.time()
     from ..utils import profiling as PROF
     ctx = PROF.trace_run(str(run / "trace"))   # active iff NKSR_PROFILE=1
@@ -325,8 +331,11 @@ def fit(cfg: Config, train_loader: Iterable, val_loader: Optional[Iterable],
             state, losses, _ = T.train_step(pcfg, tcfg, lcfg, state, batch,
                                             key, use_gt_structure=use_gt)
         step = int(state.step)
+        window.append({k: float(v) for k, v in losses.items()})
         if step % 50 == 0 or step == start_step + 1:
-            ls = {k: float(v) for k, v in losses.items()}
+            ls = {k: float(np.mean([w[k] for w in window]))
+                  for k in window[-1]}
+            window = []
             ls["lr"] = float(sched(step))   # per-step LR (reference
             #                                 LearningRateMonitor analog)
             ls["pd_struct_prob"] = T.pd_structure_prob(tcfg, step)
