@@ -106,6 +106,55 @@ def main():
     total = tr + tm
 
     extra = {"unet": getattr(recon, "_last_unet_engine", "unknown")}
+
+    # ---- predicted route at FULL bench scale (the reference's default
+    # inference workload, examples/recons_waymo.py:30-37): the scene
+    # checkpoint is trained at the bench operating point (voxel 0.1,
+    # configs/synth/train_scene.yaml) so the structure prediction is
+    # meaningful on the bench terrain
+    scene_ckpt = os.environ.get("NKSR_BENCH_SCENE_CKPT")
+    if scene_ckpt is None:
+        for cand in ("runs/scene_tpu/best.ckpt", "runs/scene_tpu/last.ckpt"):
+            if os.path.exists(cand):
+                scene_ckpt = cand
+                break
+    if scene_ckpt and os.path.exists(scene_ckpt):
+        try:
+            import jax
+            from nksr_tpu.train import driver, loop as T
+            from nksr_tpu.utils import checkpoint as CKPT
+            from nksr_tpu.utils.config import load_config
+            rcfg = load_config(os.path.join(os.path.dirname(scene_ckpt),
+                                            "config.yaml"))
+            pcfg_s = driver.pipeline_config_from_yaml(rcfg)
+            import dataclasses
+            pcfg_s = dataclasses.replace(pcfg_s, conv_dtype="bfloat16")
+            st = T.init_state(pcfg_s, T.TrainConfig(),
+                              jax.random.PRNGKey(0))
+            st = CKPT.load_params(scene_ckpt, st)
+            rp = Reconstructor(config=pcfg_s, params=st.params)
+            sst = os.stat(scene_ckpt)
+            extra["scene_ckpt"] = scene_ckpt
+            extra["scene_ckpt_mtime"] = int(sst.st_mtime)
+            reps_p = []
+            for _ in range(2):   # first pass compiles
+                t0 = time.perf_counter()
+                fp = rp.reconstruct(xyz, nrm, structure="predicted", **kw)
+                drain(fp.alpha)
+                t1 = time.perf_counter()
+                mp = fp.extract_dual_mesh(mise_iter=1)
+                reps_p.append((t1 - t0, time.perf_counter() - t1))
+                extra["predicted_mesh_verts"] = int(mp.v.shape[0])
+                fp = mp = None
+            tr_p = min(r[0] for r in reps_p)
+            tm_p = min(r[1] for r in reps_p)
+            extra["predicted_pts_per_s"] = round(n / (tr_p + tm_p), 1)
+            extra["predicted_n"] = n
+            extra["predicted_reconstruct_s"] = round(tr_p, 2)
+            extra["predicted_mesh_s"] = round(tm_p, 2)
+        except Exception as e:   # never fail the bench over the extra
+            extra["predicted_error"] = str(e)[:200]
+
     ckpt = os.environ.get("NKSR_BENCH_CKPT")
     if ckpt is None:   # newest committed checkpoint wins
         for cand in ("runs/synth_r3c/best.ckpt", "runs/synth_r3c/last.ckpt",
@@ -115,7 +164,7 @@ def main():
                 break
         else:
             ckpt = "runs/synth_tpu/last.ckpt"
-    if os.path.exists(ckpt):
+    if "predicted_pts_per_s" not in extra and os.path.exists(ckpt):
         # predicted-structure path (the reference default) with trained
         # weights, AT THE CHECKPOINT'S OWN OPERATING POINT: its trained
         # voxel size (runs/synth_tpu/config.yaml), on a terrain patch

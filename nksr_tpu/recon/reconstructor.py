@@ -129,12 +129,22 @@ def _pallas_adj_ok() -> bool:
 
 
 def resolve_cascade_engine(eng: str) -> str:
-    """'auto' -> the Pallas one-pass cascade on TPU backends (Mosaic),
-    the XLA shift/upsample chain on CPU; 'pallas-fwd' (Pallas forward +
-    XLA adjoint) when only the forward kernel compiles.  NKSR_CASCADE
-    overrides."""
+    """'auto' -> the XLA shift/upsample cascade everywhere.
+
+    The Pallas cascade stays OPT-IN (``NKSR_CASCADE=pallas`` /
+    ``pallas-fwd`` / ``auto-probe``): on this sandbox's remote-compiled
+    Mosaic backend, round-4 measurements (DESIGN.md "Mosaic compile
+    helper") showed the first Mosaic compile of a process blocks for an
+    UNBOUNDED 3-35+ minutes of helper warmup, and the cascade kernels'
+    narrow-tile pack relayouts ((256,32)->(64,128)) crash the compile
+    helper deterministically after it — so probing Mosaic from 'auto'
+    would hang a ``Reconstructor()`` user's first reconstruct for up to
+    half an hour before demoting.  ``auto-probe`` restores the probing
+    behavior for platforms with a working local Mosaic."""
     eng = os.environ.get("NKSR_CASCADE", eng)
-    if eng != "auto":
+    if eng == "auto":
+        return "xla"
+    if eng != "auto-probe":
         return eng
     if jax.default_backend() == "cpu":
         return "xla"
