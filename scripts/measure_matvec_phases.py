@@ -137,10 +137,119 @@ def main():
                                     (jnp.zeros((), jnp.int32), x))
         return small(out)
 
+    # ---- optimization variants (round 4) --------------------------------
+    # merged families: ONE sorted gather + ONE sorted scatter over the
+    # concatenated (pt, gr) row sets.  The per-row price (17/23 ns) is
+    # per *instruction row*, so folding 2 instructions into 1 halves the
+    # z0 read-modify-write traffic and the fixed per-row overheads.  In
+    # production the plan would emit the merged order (both families are
+    # already sorted by depth-0 cell -> host-side linear merge).
+    merged_idx_np = np.sort(np.concatenate(
+        [np.asarray(cell0_pt), np.asarray(cell0_gr)]))
+    merged_idx = jnp.asarray(merged_idx_np)
+
+    def v_merged_gather(x):
+        av0 = jax.lax.optimization_barrier(LAT._av0_cascade(spec, x, cdt))
+        return small(LAT._take_rows_sorted(av0, merged_idx, True))
+
+    def _matvec_merged(x):
+        """Full matvec with merged-family scatter (gathers left as-is:
+        the einsum row blocks are family-shaped)."""
+        y_pt, y_gr = _einAT(x)
+        # fold (4, S_PT, 128)+(3->pad 4?, S_GR) into one (S_PT+S_GR, 128)
+        # stream: simulate with the concatenated per-slot sums (the pt
+        # family's p_rows collapse is an in-register reduce)
+        yc = jnp.concatenate([y_pt, y_gr], axis=0)
+        z0 = jnp.zeros((n_c0, spec.lanes), f32)
+        z0 = z0.at[merged_idx].add(
+            jnp.take(yc, jnp.arange(S_PT + S_GR), axis=0),
+            indices_are_sorted=True, mode="drop")
+        outs = LAT._av0_adjoint_cascade(spec, z0)
+        return jax.tree_util.tree_map(lambda a, b: a + 1e-3 * b, outs, x)
+
+    def v_merged_full(x):
+        return small(_matvec_merged(x))
+
+    def v_bf16_z0(x):
+        """Scatter-accumulate z0 in bf16 (halves the dominant stream)."""
+        y_pt, y_gr = _einAT(x)
+        z0 = jnp.zeros((n_c0, spec.lanes), cdt)
+        z0 = z0.at[cell0_pt].add(y_pt.astype(cdt),
+                                 indices_are_sorted=True, mode="drop")
+        z0 = z0.at[cell0_gr].add(y_gr.astype(cdt),
+                                 indices_are_sorted=True, mode="drop")
+        outs = LAT._av0_adjoint_cascade(spec, z0)
+        return small(jax.tree_util.tree_map(
+            lambda a, b: a + 1e-3 * b, outs, x))
+
+    def v_scan10(x):
+        """10 chained matvecs under lax.scan (layout choices can differ
+        from while_loop)."""
+        def body(xs_, _):
+            ys = _matvec(xs_)
+            s = sum(jnp.sum(jnp.abs(y[:1, :1])) for y in ys) + 1.0
+            return jax.tree_util.tree_map(lambda a: a / s, ys), 0.0
+        out, _ = jax.lax.scan(body, x, None, length=10)
+        return small(out)
+
+    # conv-patches forward cascade: corner expansion as
+    # conv_general_dilated_patches (the TPU conv emitter's own layout
+    # machinery) + a fused (8v -> lanes) one-hot placement matmul that
+    # also fixes the patches' channel-major corner order.  The cascade is
+    # linear, so the adjoint is jax.linear_transpose (exact).
+    import functools as _ft
+
+    @_ft.lru_cache(maxsize=None)
+    def _conv_place(v, d_block, lanes):
+        """(v*8, lanes) one-hot: patches channel-major lane (c, corner)
+        -> AV0 lane 8*v*d_block + corner*v + c."""
+        m = np.zeros((v * 8, lanes), np.float32)
+        for c in range(v):
+            for corner in range(8):
+                m[c * 8 + corner, 8 * v * d_block + corner * v + c] = 1.0
+        return m
+
+    def _place_level_conv(x_d, d):
+        v = spec.k
+        X, Y, Z = spec.dims[d]
+        xd = x_d.reshape(X, Y, Z, v).astype(cdt)
+        padc = jnp.pad(xd, ((0, 1), (0, 1), (0, 1), (0, 0)))
+        p = jax.lax.conv_general_dilated_patches(
+            padc[None], (2, 2, 2), (1, 1, 1), "VALID",
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))[0]
+        mm = jnp.asarray(_conv_place(v, d, spec.lanes), cdt)
+        return p.reshape(X * Y * Z, 8 * v) @ mm
+
+    def _av0_cascade_conv(x):
+        acc = _place_level_conv(x[spec.depth - 1], spec.depth - 1)
+        for d in range(spec.depth - 2, -1, -1):
+            acc = LAT._up2(acc, spec.dims[d + 1], spec.dims[d]) \
+                + _place_level_conv(x[d], d)
+        return acc
+
+    def v_cascade_conv(x):
+        return small(_av0_cascade_conv(x))
+
+    def v_cascade_conv_adj(x):
+        av0 = _av0_cascade_conv(x)
+        adj = jax.linear_transpose(_av0_cascade_conv, x)
+        outs, = adj(av0.astype(f32))
+        return small(outs)
+
     variants = [("cascade", v_cascade), ("gather", v_gather),
                 ("einsumA", v_einA), ("einsumAT", v_einAT),
                 ("scatter", v_scatter), ("full", v_full),
-                ("loop10", v_loop10)]
+                ("loop10", v_loop10),
+                ("merged_gather", v_merged_gather),
+                ("merged_full", v_merged_full),
+                ("bf16_z0", v_bf16_z0),
+                ("scan10", v_scan10),
+                ("cascade_conv", v_cascade_conv),
+                ("cascade_conv_adj", v_cascade_conv_adj)]
+    only = os.environ.get("NKSR_PHASES_ONLY")
+    if only:
+        sel = set(only.split(","))
+        variants = [v for v in variants if v[0] in sel]
     prev = 0.0
     for name, fn in variants:
         jf = jax.jit(fn)
