@@ -568,6 +568,73 @@ def _down2(a: jnp.ndarray, dims_f, dims_c) -> jnp.ndarray:
     return a.reshape(xc * yc * zc, L)
 
 
+# ------------------------- conv-patches cascade (engine 'xla-conv')
+#
+# Same math as _av0_cascade, but the corner expansion rides XLA's TPU
+# convolution emitter instead of the packed-window one-hot matmuls:
+# a 2x2x2 conv_general_dilated_patches extracts all 8 corner
+# coefficients per cell in the conv pipeline's own layouts, and ONE
+# one-hot placement matmul both fixes the patches' channel-major corner
+# order and lands the 8k block at the level's lane offset.  Boundary
+# semantics differ from the flat-stride windows (patches zero-PAD where
+# the flat strides WRAP into the next row), but both only ever read
+# margin cells there, which are structurally inactive (zero
+# coefficients, zero Gram rows) — the engines agree exactly on the
+# active subspace (pinned by tests/test_lattice.py cross-engine test).
+
+@functools.lru_cache(maxsize=None)
+def _conv_place_M(v: int, d_block: int, lanes: int) -> np.ndarray:
+    """(8v, lanes) one-hot: patches channel-major lane (c*8 + corner) ->
+    AV0 lane 8*v*d_block + corner*v + c (corner-major, coeff minor —
+    the _corner_cat/_place_level lane convention)."""
+    m = np.zeros((8 * v, lanes), np.float32)
+    for c in range(v):
+        for corner in range(8):
+            m[c * 8 + corner, 8 * v * d_block + corner * v + c] = 1.0
+    return m
+
+
+def _place_level_conv(spec: LatticeSpec, xp: jnp.ndarray, d: int,
+                      dtype) -> jnp.ndarray:
+    """Packed flat coefficients (n_d*v/128, 128) -> cell-rows
+    (n_d, lanes) via patch-extraction + placement matmul."""
+    v = spec.k
+    X, Y, Z = spec.dims[d]
+    xd = xp.reshape(X, Y, Z, v).astype(dtype)
+    padc = jnp.pad(xd, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    p = jax.lax.conv_general_dilated_patches(
+        padc[None], (2, 2, 2), (1, 1, 1), "VALID",
+        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))[0]
+    mm = jnp.asarray(_conv_place_M(v, d, spec.lanes), dtype)
+    return p.reshape(X * Y * Z, 8 * v) @ mm
+
+
+def _av0_cascade_conv(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
+                      dtype) -> jnp.ndarray:
+    """Conv-emitter twin of ``_av0_cascade``."""
+    depth = spec.depth
+    acc = _place_level_conv(spec, xs[depth - 1], depth - 1, dtype)
+    for d in range(depth - 2, -1, -1):
+        acc = _up2(acc, spec.dims[d + 1], spec.dims[d]) \
+            + _place_level_conv(spec, xs[d], d, dtype)
+    return acc
+
+
+def _av0_adjoint_cascade_conv(spec: LatticeSpec,
+                              z0: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Adjoint of ``_av0_cascade_conv`` in f32, by ``linear_transpose``
+    (the cascade is linear; XLA emits the transposed convs)."""
+
+    def fwd(xs):
+        return _av0_cascade_conv(spec, xs, jnp.float32)
+
+    prim = tuple(jax.ShapeDtypeStruct(
+        (spec.n_cells(d) * spec.k // 128, 128), jnp.float32)
+        for d in range(spec.depth))
+    outs, = jax.linear_transpose(fwd, prim)(z0.astype(jnp.float32))
+    return tuple(outs)
+
+
 def _av0_cascade(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
                  dtype) -> jnp.ndarray:
     """Fused support buffer at depth-0 resolution, built coarse-to-fine:
@@ -1044,11 +1111,15 @@ def lattice_solve(spec: LatticeSpec, interp,
             cascade_engine = "xla"
     if cascade_engine in ("pallas", "pallas-fwd"):
         fwd_cascade = functools.partial(LP.av0_cascade_pallas, spec)
+    elif cascade_engine == "xla-conv":
+        fwd_cascade = functools.partial(_av0_cascade_conv, spec)
     else:
         fwd_cascade = functools.partial(_av0_cascade, spec)
     if cascade_engine == "pallas":
         adj_cascade = functools.partial(LP.av0_adjoint_cascade_pallas,
                                         spec, compute_dtype=cdt)
+    elif cascade_engine == "xla-conv":
+        adj_cascade = functools.partial(_av0_adjoint_cascade_conv, spec)
     else:
         adj_cascade = functools.partial(_av0_adjoint_cascade, spec)
 

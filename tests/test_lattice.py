@@ -416,7 +416,7 @@ class TestLatticeVsSparse:
         probe = np.asarray(sphere_points(80, r=0.42, seed=43)[0])
         monkeypatch.setenv("NKSR_LATTICE", "1")
         vals = {}
-        for eng in ("xla", "pallas-fwd", "pallas"):
+        for eng in ("xla", "pallas-fwd", "pallas", "xla-conv"):
             monkeypatch.setenv("NKSR_CASCADE", eng)
             f = Reconstructor(config=cfg).reconstruct(xyz, nrm, **kw)
             vals[eng] = np.asarray(f.evaluate_f(probe).value)
@@ -426,6 +426,12 @@ class TestLatticeVsSparse:
             < 0.02
         # full-pallas adds the bf16 adjoint read: bounded, engine-level
         assert np.abs(vals["pallas"] - vals["xla"]).mean() / scale < 0.05
+        # conv-emitter cascade (fwd bf16 conv-patches, adj f32
+        # linear_transpose): same math, program-order drift only; the
+        # pad-vs-wrap boundary difference must not reach the active
+        # subspace (fields/lattice.py engine note)
+        assert np.abs(vals["xla-conv"] - vals["xla"]).mean() / scale \
+            < 0.02
 
     @pytest.mark.slow
     @pytest.mark.parametrize("approx_grad", [False, True])
