@@ -5,7 +5,13 @@ provides via test.py + metrics.py (/root/reference/README.md:113-121,
 metrics.py:76-192).
 
 Usage:
-  python scripts/make_quality_report.py <config> <ckpt> [limit] [out_md]
+  python scripts/make_quality_report.py <config> <ckpt> [limit] [out_md] \
+      [noise_ckpt]
+
+``noise_ckpt``: optional checkpoint trained with the noise recipe
+(configs/synth/train_noise.yaml) — adds `noise-trained/...+noise` rows so
+the report shows what noise training buys over the clean-trained model
+on the same perturbed inputs.
 """
 
 import json
@@ -100,6 +106,16 @@ def main():
         noise=noise)
     results["trained/splat+noise"] = run(
         trained.params, "splat", "trained/splat+noise", noise=noise)
+    noise_ckpt = sys.argv[5] if len(sys.argv) > 5 else None
+    if noise_ckpt:
+        ntrained = CKPT.load_params(
+            noise_ckpt, T.init_state(pcfg, tcfg, jax.random.PRNGKey(0)))
+        results["noise-trained/predicted+noise"] = run(
+            ntrained.params, "predicted", "noise-trained/predicted+noise",
+            noise=noise)
+        results["noise-trained/splat+noise"] = run(
+            ntrained.params, "splat", "noise-trained/splat+noise",
+            noise=noise)
     untrained = T.init_state(pcfg, tcfg, jax.random.PRNGKey(0))
     results["untrained/splat"] = run(untrained.params, "splat",
                                      "untrained/splat")
@@ -143,6 +159,16 @@ def main():
         "noise-robustness evidence; `untrained/splat` is the random-init "
         "baseline (pure screened-RBF behavior from the residual normal "
         "prior) — the gap to it is what training buys.",
+    ]
+    if noise_ckpt:
+        lines += [
+            "",
+            f"`noise-trained/...` rows use `{noise_ckpt}` "
+            "(configs/synth/train_noise.yaml fine-tune) on the same "
+            "perturbed inputs — the delta vs `trained/...+noise` is "
+            "what noise training buys.",
+        ]
+    lines += [
         "",
         "Per-sample rows: `runs/quality/metrics_*.json`.",
     ]
