@@ -119,7 +119,13 @@ def _eval_fn(spec: LAT.LatticeSpec, voxel_size: float, grad: bool,
         (elementwise shifts/compares) — no host passes, no index upload.
     """
     offs_np = LAT._corner_offsets()
+    # largest divisor of cap <= the requested chunk: caps come from the
+    # {2^k, 3*2^(k-2)} bucket family (_bucket_cap / lattice_mc._next_cap),
+    # so a plain min() can leave cap % chunk != 0 (e.g. cap 3*2^16 with
+    # the default 2^17 chunk — crashed the 3*2^k corner-count buckets)
     chunk = min(chunk, cap)
+    while cap % chunk:
+        chunk >>= 1
     assert cap % chunk == 0
 
     def fn(interp_params, tables: LatticeEvalTables, origins, x):

@@ -464,6 +464,36 @@ class TestLatticeVsSparse:
         scale = np.abs(v_sp).mean() + 1e-6
         assert np.abs(v_lat - v_sp).mean() / scale < 0.02
 
+    def test_eval_fn_nonpow2_cap_chunk(self, monkeypatch):
+        """3*2^k capacity buckets (lattice_mc._next_cap / _bucket_cap)
+        are not divisible by the default pow2 chunk — _eval_fn must
+        adjust the chunk to a divisor instead of asserting (crashed
+        extract_dual_mesh whenever the candidate-corner count landed in
+        a 3*2^k bucket, e.g. cap 3*2^16 vs chunk 2^17)."""
+        from nksr_tpu.fields.lattice_eval import _eval_fn
+        cfg = P.PipelineConfig(tree_depth=2, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=8)
+        recon = Reconstructor(config=cfg)
+        xyz, nrm = sphere_points(400, r=0.5, seed=11)
+        monkeypatch.setenv("NKSR_LATTICE", "1")
+        hf = recon.reconstruct(xyz, nrm, voxel_size=0.15,
+                               detail_level=None, structure="splat")
+        ctx = hf.lattice_ctx
+        assert ctx is not None
+        cap, chunk = 96, 64          # cap % chunk != 0 (the bug shape)
+        fn = _eval_fn(ctx.spec, ctx.voxel_size, False, ctx.approx_grad,
+                      cap, chunk=chunk)
+        import jax.numpy as jnp
+        probe = np.zeros((cap, 3), np.float32)
+        probe[:50] = sphere_points(50, r=0.45, seed=12)[0]
+        vals, mask = fn(ctx.interp_params, ctx.tables(),
+                        jnp.asarray(ctx.origins.astype(np.int32)),
+                        jnp.asarray(probe))
+        assert np.isfinite(np.asarray(vals)).all()
+        # must agree with the standard eval of the same points
+        v_ref, _ = ctx.eval_batched(probe[:50])
+        assert np.abs(np.asarray(vals)[:50] - v_ref).max() < 1e-4
+
     def test_lattice_eval_matches_generic(self, monkeypatch):
         """The lattice-native evaluator (fields/lattice_eval.py — dense
         AV0/feature tables + one gather per query) must agree with the

@@ -379,6 +379,13 @@ class TestShardedChunks:
         assert m_sh.v.shape[0] == m_ser.v.shape[0] > 100
         assert m_sh.f.shape == m_ser.f.shape
         # same lattice -> same vertex order; positions differ only by
-        # solver-tolerance noise
-        np.testing.assert_allclose(m_sh.v, m_ser.v, atol=5e-3)
+        # solver-tolerance noise.  Bound re-measured 2026-08-20: the
+        # round-3 default-engine flips (bf16 solver blocks, dense UNet)
+        # moved 6/522 coords to 8.78e-3 (deterministic, identical at the
+        # r3 and r4 heads; the field-value parity above still holds at
+        # 1.2e-3) — these are edge-crossing positions on near-flat
+        # crossings, where dv/df ~ edge_len/|f_a - f_b| amplifies
+        # field-tolerance noise; 1e-2 = 10% of a voxel stays far below
+        # the legitimate per-chunk-vs-global solve difference (~2e-2)
+        np.testing.assert_allclose(m_sh.v, m_ser.v, atol=1e-2)
         assert m_sh.v[:, 0].max() > 1.7
