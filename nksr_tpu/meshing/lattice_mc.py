@@ -201,42 +201,43 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
         vcenters = centers
 
         # quads: sign change along +a corner edges with all 4 cells
-        # crossing.  Work on the corner grid; cells = corner - off.
+        # crossing.  Every quad's BASE corner equals a crossing cell's
+        # min corner (offset row 0 of _QUAD_VOX_OFFS is (0,0,0) for all
+        # three axes), so candidates are enumerated over the COMPACTED
+        # crossing cells (cap_v rows) instead of the dense corner grid:
+        # the former dense form paid 3 full-grid shift/compaction passes
+        # (~0.7 s of the ~1.0 s topology phase at the 1M-point bench);
+        # this form is ~10 clip-gathers x cap_v rows.  Quad order is
+        # unchanged (crossing cells enumerate ascending flat ids, the
+        # same order the dense corner-grid scan produced).
         quads, flips, nqs = [], [], []
-        crossf = cross  # (Xf, Yf, Zf)
-        rank3 = rank.reshape(Xf, Yf, Zf)
-        # cell grids padded to corner-grid size, hoisted out of the
-        # 3x4 offset loop (they are loop-invariant)
-        cpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), bool)
-        cpad = cpad.at[:-1, :-1, :-1].set(crossf)
-        rpad = jnp.zeros((Xf + 1, Yf + 1, Zf + 1), jnp.int32)
-        rpad = rpad.at[:-1, :-1, :-1].set(rank3)
+        live_v = jnp.arange(cap_v) < n_verts
+        crossflat = cross.reshape(-1)
+        sflat = S.reshape(-1)
+        Ycg, Zcg = Yf + 1, Zf + 1
+        qcorner = (cc[:, 0] * Ycg + cc[:, 1]) * Zcg + cc[:, 2]
+        s_base = jnp.take(sflat, qcorner)
         for a in range(3):
-            e = tuple(int(v) for v in np.eye(3, dtype=int)[a])
-            change = S != _shift(S, e, False)
-            # drop the last corner plane along a (no +a neighbor corner)
-            valid = jnp.ones_like(S)
-            sl = [slice(None)] * 3
-            sl[a] = slice(-1, None)
-            valid = valid.at[tuple(sl)].set(False)
-            ok4 = jnp.ones((Xf + 1, Yf + 1, Zf + 1), bool)
+            e = np.eye(3, dtype=np.int64)[a]
+            cstride = int((e[0] * Ycg + e[1]) * Zcg + e[2])
+            # base corner of a crossing cell is never on the last corner
+            # plane along a (cell coords < Xf), so +a neighbor exists
+            ok4 = live_v & (s_base != jnp.take(sflat, qcorner + cstride))
             rid4 = []
             for off in _QUAD_VOX_OFFS[a]:
-                # cell (corner - off) must be a crossing cell; gather its
-                # rank.  On the corner grid the read is a shift by -off
-                # of the cell grids padded to corner-grid size.
-                d = tuple(-int(v) for v in off)
-                ok4 = ok4 & _shift(cpad, d, False)
-                rid4.append(_shift(rpad, d, 0))
-            qmask = (change & valid & ok4).reshape(-1)
-            nq = jnp.sum(qmask.astype(jnp.int32))
-            qid = compact_ids(qmask, cap_q)
-            live = jnp.arange(cap_q) < nq
-            vids = jnp.stack([jnp.take(r.reshape(-1), qid)
-                              for r in rid4], -1)           # (cap_q, 4)
-            flip = ~jnp.take(S.reshape(-1), qid)
-            quads.append(jnp.where(live[:, None], vids, -1))
-            flips.append(flip & live)
+                nb = cc - jnp.asarray(off, cc.dtype)[None]
+                inb = jnp.all(nb >= 0, axis=1)
+                nbflat = (nb[:, 0] * Yf + nb[:, 1]) * Zf + nb[:, 2]
+                nbflat = jnp.where(inb, nbflat, 0)
+                ok4 = ok4 & inb & jnp.take(crossflat, nbflat)
+                rid4.append(jnp.take(rank, nbflat))
+            nq = jnp.sum(ok4.astype(jnp.int32))
+            qid = compact_ids(ok4, cap_q)           # over cap_v rows
+            liveq = jnp.arange(cap_q) < nq
+            vids = jnp.stack([jnp.take(r, qid) for r in rid4], -1)
+            flip = ~jnp.take(s_base, qid)
+            quads.append(jnp.where(liveq[:, None], vids, -1))
+            flips.append(flip & liveq)
             nqs.append(nq)
         return (verts, vcenters, n_verts, jnp.stack(quads),
                 jnp.stack(flips), jnp.stack(nqs))

@@ -55,12 +55,17 @@ def main():
         rng.integers(0, spec.n_cells(0), size=S_PT).astype(np.int32)))
     cell0_gr = jnp.asarray(np.sort(
         rng.integers(0, spec.n_cells(0), size=S_GR).astype(np.int32)))
-    b_pt = jnp.asarray(rng.normal(size=(4, S_PT, 128))
-                       .astype(np.float32)).astype(cdt)
-    b_gr = jnp.asarray(rng.normal(size=(3, S_GR, 128))
-                       .astype(np.float32)).astype(cdt)
-    w_pt = jnp.asarray(rng.random((4, S_PT)).astype(np.float32))
-    w_gr = jnp.asarray(rng.random((S_GR,)).astype(np.float32))
+    # the row blocks are passed as JIT ARGUMENTS (an ops dict): closed
+    # over, they embed as graph constants and XLA's constant folding of
+    # the .astype chews unbounded compile time at these sizes (observed
+    # 25+ min stuck on the einsumA compile)
+    ops = dict(
+        b_pt=jnp.asarray(rng.normal(size=(4, S_PT, 128))
+                         .astype(np.float32)).astype(cdt),
+        b_gr=jnp.asarray(rng.normal(size=(3, S_GR, 128))
+                         .astype(np.float32)).astype(cdt),
+        w_pt=jnp.asarray(rng.random((4, S_PT)).astype(np.float32)),
+        w_gr=jnp.asarray(rng.random((S_GR,)).astype(np.float32)))
     n_c0 = spec.n_cells(0)
 
     def small(tree):
@@ -68,68 +73,68 @@ def main():
         return sum(jnp.sum(t[..., :1].astype(f32)) for t in
                    jax.tree_util.tree_leaves(tree))
 
-    def v_cascade(x):
+    def v_cascade(x, O):
         av0 = LAT._av0_cascade(spec, x, cdt)
         return small(av0)
 
-    def _gathers(x):
+    def _gathers(x, O):
         av0 = jax.lax.optimization_barrier(LAT._av0_cascade(spec, x, cdt))
         av_pt = LAT._take_rows_sorted(av0, cell0_pt, True)
         av_gr = LAT._take_rows_sorted(av0, cell0_gr, True)
         return av_pt, av_gr
 
-    def v_gather(x):
-        return small(_gathers(x))
+    def v_gather(x, O):
+        return small(_gathers(x, O))
 
-    def _einA(x):
-        av_pt, av_gr = _gathers(x)
-        t_pt = jnp.einsum('rsl,sl->rs', b_pt, av_pt,
+    def _einA(x, O):
+        av_pt, av_gr = _gathers(x, O)
+        t_pt = jnp.einsum('rsl,sl->rs', O['b_pt'], av_pt,
                           preferred_element_type=f32)
-        t_gr = jnp.einsum('rsl,sl->rs', b_gr, av_gr,
+        t_gr = jnp.einsum('rsl,sl->rs', O['b_gr'], av_gr,
                           preferred_element_type=f32)
         return t_pt, t_gr
 
-    def v_einA(x):
-        return small(_einA(x))
+    def v_einA(x, O):
+        return small(_einA(x, O))
 
-    def _einAT(x):
-        t_pt, t_gr = _einA(x)
-        y_pt = jnp.einsum('rsl,rs->sl', b_pt, (w_pt * t_pt).astype(cdt),
+    def _einAT(x, O):
+        t_pt, t_gr = _einA(x, O)
+        y_pt = jnp.einsum('rsl,rs->sl', O['b_pt'], (O['w_pt'] * t_pt).astype(cdt),
                           preferred_element_type=f32)
-        y_gr = jnp.einsum('rsl,rs->sl', b_gr, (w_gr[None] * t_gr).astype(cdt),
+        y_gr = jnp.einsum('rsl,rs->sl', O['b_gr'], (O['w_gr'][None] * t_gr).astype(cdt),
                           preferred_element_type=f32)
         return y_pt, y_gr
 
-    def v_einAT(x):
-        return small(_einAT(x))
+    def v_einAT(x, O):
+        return small(_einAT(x, O))
 
-    def _scatter(x):
-        y_pt, y_gr = _einAT(x)
+    def _scatter(x, O):
+        y_pt, y_gr = _einAT(x, O)
         z0 = jnp.zeros((n_c0, spec.lanes), f32)
         z0 = z0.at[cell0_pt].add(y_pt, indices_are_sorted=True, mode="drop")
         z0 = z0.at[cell0_gr].add(y_gr, indices_are_sorted=True, mode="drop")
         return z0
 
-    def v_scatter(x):
-        return small(_scatter(x))
+    def v_scatter(x, O):
+        return small(_scatter(x, O))
 
-    def v_full(x):
-        z0 = _scatter(x)
+    def v_full(x, O):
+        z0 = _scatter(x, O)
         outs = LAT._av0_adjoint_cascade(spec, z0)
         y = jax.tree_util.tree_map(lambda a, b: a + 1e-3 * b, outs, x)
         return small(y)
 
-    def _matvec(x):
-        z0 = _scatter(x)
+    def _matvec(x, O):
+        z0 = _scatter(x, O)
         outs = LAT._av0_adjoint_cascade(spec, z0)
         return jax.tree_util.tree_map(lambda a, b: a + 1e-3 * b, outs, x)
 
-    def v_loop10(x):
+    def v_loop10(x, O):
         """10 chained matvecs in a while_loop — captures the remat/
         layout penalties the CG loop pays that standalone calls don't."""
         def body(state):
             i, xs_ = state
-            ys = _matvec(xs_)
+            ys = _matvec(xs_, O)
             s = sum(jnp.sum(jnp.abs(y[:1, :1])) for y in ys) + 1.0
             ys = jax.tree_util.tree_map(lambda a: a / s, ys)
             return i + 1, ys
@@ -148,14 +153,14 @@ def main():
         [np.asarray(cell0_pt), np.asarray(cell0_gr)]))
     merged_idx = jnp.asarray(merged_idx_np)
 
-    def v_merged_gather(x):
+    def v_merged_gather(x, O):
         av0 = jax.lax.optimization_barrier(LAT._av0_cascade(spec, x, cdt))
         return small(LAT._take_rows_sorted(av0, merged_idx, True))
 
-    def _matvec_merged(x):
+    def _matvec_merged(x, O):
         """Full matvec with merged-family scatter (gathers left as-is:
         the einsum row blocks are family-shaped)."""
-        y_pt, y_gr = _einAT(x)
+        y_pt, y_gr = _einAT(x, O)
         # fold (4, S_PT, 128)+(3->pad 4?, S_GR) into one (S_PT+S_GR, 128)
         # stream: simulate with the concatenated per-slot sums (the pt
         # family's p_rows collapse is an in-register reduce)
@@ -167,12 +172,12 @@ def main():
         outs = LAT._av0_adjoint_cascade(spec, z0)
         return jax.tree_util.tree_map(lambda a, b: a + 1e-3 * b, outs, x)
 
-    def v_merged_full(x):
-        return small(_matvec_merged(x))
+    def v_merged_full(x, O):
+        return small(_matvec_merged(x, O))
 
-    def v_bf16_z0(x):
+    def v_bf16_z0(x, O):
         """Scatter-accumulate z0 in bf16 (halves the dominant stream)."""
-        y_pt, y_gr = _einAT(x)
+        y_pt, y_gr = _einAT(x, O)
         z0 = jnp.zeros((n_c0, spec.lanes), cdt)
         z0 = z0.at[cell0_pt].add(y_pt.astype(cdt),
                                  indices_are_sorted=True, mode="drop")
@@ -182,11 +187,11 @@ def main():
         return small(jax.tree_util.tree_map(
             lambda a, b: a + 1e-3 * b, outs, x))
 
-    def v_scan10(x):
+    def v_scan10(x, O):
         """10 chained matvecs under lax.scan (layout choices can differ
         from while_loop)."""
         def body(xs_, _):
-            ys = _matvec(xs_)
+            ys = _matvec(xs_, O)
             s = sum(jnp.sum(jnp.abs(y[:1, :1])) for y in ys) + 1.0
             return jax.tree_util.tree_map(lambda a: a / s, ys), 0.0
         out, _ = jax.lax.scan(body, x, None, length=10)
@@ -227,19 +232,34 @@ def main():
                 + _place_level_conv(x[d], d)
         return acc
 
-    def v_cascade_conv(x):
+    def v_cascade_conv(x, O):
         return small(_av0_cascade_conv(x))
 
-    def v_cascade_conv_adj(x):
+    def v_cascade_conv_adj(x, O):
         av0 = _av0_cascade_conv(x)
         adj = jax.linear_transpose(_av0_cascade_conv, x)
         outs, = adj(av0.astype(f32))
         return small(outs)
 
+    def v_pcg16(x, O):
+        """16 fixed iterations of the REAL pcg loop (solver/pcg.py) over
+        the script matvec: isolates the loop-structure overhead (dots,
+        axpys, precond, early-exit cond) from the production assembly."""
+        from nksr_tpu.solver.pcg import pcg
+        diag = jax.tree_util.tree_map(
+            lambda t: jnp.ones_like(t) * 2.0, x)
+
+        def precond(r):
+            return jax.tree_util.tree_map(lambda ri, di: ri / di, r, diag)
+
+        out, it, rr = pcg(lambda xs_: _matvec(xs_, O), x,
+                          precond=precond, tol=1e-30, max_iters=16)
+        return small(out) + it.astype(f32)
+
     variants = [("cascade", v_cascade), ("gather", v_gather),
                 ("einsumA", v_einA), ("einsumAT", v_einAT),
                 ("scatter", v_scatter), ("full", v_full),
-                ("loop10", v_loop10),
+                ("loop10", v_loop10), ("pcg16", v_pcg16),
                 ("merged_gather", v_merged_gather),
                 ("merged_full", v_merged_full),
                 ("bf16_z0", v_bf16_z0),
@@ -254,12 +274,12 @@ def main():
     for name, fn in variants:
         jf = jax.jit(fn)
         t0 = time.time()
-        drain(jf(xs))
+        drain(jf(xs, ops))
         log(f"{name}: compile+run {time.time()-t0:.1f}s")
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            drain(jf(xs))
+            drain(jf(xs, ops))
             times.append(time.perf_counter() - t0)
         t = min(times)
         log(f"{name}: {t*1e3:7.1f} ms   (delta {max(t-prev,0)*1e3:7.1f} ms)"
