@@ -81,16 +81,24 @@ def main():
     # The previous field must be dropped BEFORE re-reconstructing: its
     # evaluator tables (~4 GB HBM at this scale) would otherwise stay
     # live across the next solve.
+    err = None
     try:
         _time_once(recon, xyz, nrm, drain, "splat", **kw)
     except Exception as e:
         # dense-UNet path failed (e.g. HBM pressure on a different chip
         # generation): fall back to the sparse-UNet config so the bench
-        # always reports a number
+        # always reports a number.  The retry must run OUTSIDE this
+        # except block: the exception's traceback pins the failed
+        # attempt's device buffers, which kept HBM full during the
+        # retry (observed double-OOM).
+        err = str(e)[:400]
+    if err is not None:
+        import gc
         import sys
-        print(f"[bench] dense-UNet path failed, falling back: "
-              f"{str(e)[:400]}", file=sys.stderr, flush=True)
+        print(f"[bench] dense-UNet path failed, falling back: {err}",
+              file=sys.stderr, flush=True)
         os.environ["NKSR_DENSE_UNET"] = "0"
+        gc.collect()
         _time_once(recon, xyz, nrm, drain, "splat", **kw)
 
     reps = int(os.environ.get("NKSR_BENCH_REPS", 2))

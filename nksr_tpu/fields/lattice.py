@@ -1043,14 +1043,16 @@ def lattice_solve(spec: LatticeSpec, interp,
     ``gr_targets``: (s_gr, 3) gradient targets (already includes the
     residual normal prior; weights applied here).
 
-    ``return_dense``: additionally return the solver's DENSE artifacts —
-    the packed per-depth coefficient lattices (the raw CG solution; cells
-    outside the active voxel set are exactly zero, since their operator
-    columns vanish under the act_fc masking and their rhs is zero) and
-    the per-depth corner feature tables — so the lattice evaluator
-    (fields/lattice_eval.py) can skip rebuilding them for meshing
-    (measured ~2.1 s of the ~5.6 s extract_dual_mesh lap at the 1M-point
-    bench).  Return shape becomes (alphas, xs_packed, fc_cdt).
+    ``return_dense``: additionally return the packed per-depth dense
+    coefficient lattices (the raw CG solution; cells outside the active
+    voxel set are exactly zero, since their operator columns vanish
+    under the act_fc masking and their rhs is zero) so the lattice
+    evaluator (fields/lattice_eval.py) skips re-scattering the solution
+    for meshing.  ONLY the packed lattices are returned (~165 MB at the
+    1M-point bench): returning the ~2.6 GB corner feature tables as jit
+    outputs extended their lifetime across the CG loop and pushed the
+    bench-scale solve peak over v5e HBM (measured RESOURCE_EXHAUSTED).
+    Return shape becomes (alphas, xs_packed).
 
     The CG matvec uses the fused AV0 formulation: one (cells_0, lanes)
     support buffer built from dense shifts/upsamples, ONE sorted row
@@ -1234,8 +1236,7 @@ def lattice_solve(spec: LatticeSpec, interp,
             rows = jnp.where(vox_active[d][:, None], rows, 0.0)
             alphas.append(rows.reshape(cap * k))
         if return_dense:
-            return tuple(alphas), tuple(xs), \
-                tuple(f.astype(cdt) for f in features_dense_fc)
+            return tuple(alphas), tuple(xs)
         return tuple(alphas)
 
     # ---- primal formulation -----------------------------------------
@@ -1277,6 +1278,5 @@ def lattice_solve(spec: LatticeSpec, interp,
         rows = jnp.where(vox_active[d][:, None], rows, 0.0)
         alphas.append(rows.reshape(cap * k))
     if return_dense:
-        return tuple(alphas), tuple(xs), \
-            tuple(f.astype(cdt) for f in features_dense_fc)
+        return tuple(alphas), tuple(xs)
     return tuple(alphas)

@@ -105,19 +105,27 @@ def _prepare_fn(spec: LAT.LatticeSpec, cdt_str: str):
 
 @functools.lru_cache(maxsize=32)
 def _prepare_from_dense_fn(spec: LAT.LatticeSpec, cdt_str: str):
-    """Table prep when the solve already returned its dense artifacts
-    (lattice_solve(return_dense=True)): reuses the packed coefficient
-    lattices and corner feature tables, so only the AV0 cascade and the
-    cheap 1-wide activity masks are built here (measured: cuts the
-    ~2.1 s first-mesh table prep to the ~0.2 s cascade+mask cost)."""
+    """Table prep when the solve already returned its packed dense
+    coefficient lattices (lattice_solve(return_dense=True)): skips the
+    alphas re-scatter, building only the AV0 cascade, the corner feature
+    tables, and the 1-wide activity masks.  (The feature tables are NOT
+    reused from the solve: keeping them alive as solve outputs extended
+    their ~2.6 GB lifetime across the CG loop and OOMed the bench-scale
+    solve on v5e.)"""
     cdt = jnp.dtype(cdt_str)
 
-    def fn(dense_xs, dense_fc, vox_cell, vox_active):
+    def fn(dense_xs, basis_features, vox_cell, vox_active):
         depth = spec.depth
         av0 = LAT._av0_cascade(spec, dense_xs, cdt)
-        mask_parts, occ_parts = [], []
+        fc, mask_parts, occ_parts = [], [], []
         for d in range(depth):
             nc = spec.n_cells(d)
+            cb = basis_features[d].shape[-1]
+            fd = jnp.zeros((nc, cb)).at[vox_cell[d]].add(
+                jnp.where(vox_active[d][:, None], basis_features[d], 0.0),
+                mode="drop")
+            fc.append(LAT._corner_cat(fd.reshape(-1), spec, d, cb)
+                      .astype(cdt))
             ad = jnp.zeros((nc,)).at[vox_cell[d]].add(
                 vox_active[d].astype(jnp.float32), mode="drop")
             any_c = (LAT._corner_cat(ad, spec, d, 1) > 0).any(-1)
@@ -133,7 +141,7 @@ def _prepare_from_dense_fn(spec: LAT.LatticeSpec, cdt_str: str):
             up = LAT._upsample_to_0(occ_parts[d][:, None], spec, d,
                                     tuple(int(0) for _ in range(3)))
             shell0 = jnp.maximum(shell0, up[:, 0])
-        return LatticeEvalTables(av0=av0, fc=tuple(dense_fc), mask0=mask0,
+        return LatticeEvalTables(av0=av0, fc=tuple(fc), mask0=mask0,
                                  shell0=shell0)
     return jax.jit(fn)
 
@@ -253,7 +261,7 @@ class LatticeEvalContext:
                  interp_params, basis_features, alphas,
                  vox_cell, vox_active, voxel_size: float,
                  approx_grad: bool, compute_dtype: str = "float32",
-                 dense_xs=None, dense_fc=None):
+                 dense_xs=None):
         self.spec = spec
         self.origins = np.asarray(origins)
         self.interp_params = interp_params
@@ -264,18 +272,17 @@ class LatticeEvalContext:
         self.voxel_size = float(voxel_size)
         self.approx_grad = bool(approx_grad)
         self.compute_dtype = compute_dtype
-        # dense artifacts from lattice_solve(return_dense=True): packed
-        # coefficient lattices + corner feature tables already in HBM
+        # packed dense coefficient lattices from
+        # lattice_solve(return_dense=True), already in HBM
         self.dense_xs = dense_xs
-        self.dense_fc = dense_fc
         self._tables: Optional[LatticeEvalTables] = None
 
     def tables(self) -> LatticeEvalTables:
         if self._tables is None:
-            if self.dense_xs is not None and self.dense_fc is not None:
+            if self.dense_xs is not None:
                 self._tables = _prepare_from_dense_fn(
                     self.spec, self.compute_dtype)(
-                    self.dense_xs, self.dense_fc,
+                    self.dense_xs, self.basis_features,
                     self.vox_cell, self.vox_active)
             else:
                 self._tables = _prepare_fn(self.spec, self.compute_dtype)(

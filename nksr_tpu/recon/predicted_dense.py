@@ -196,8 +196,8 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
     dest[:n] = plan.pt_dest
     phase_key = tuple(map(tuple, plan.phase.tolist()))
     prior_idx = jnp.asarray(plan.origins.astype(np.int32))
-    field, dxs, dfc = _compiled_lattice_solve(cfg, spec, phase_key,
-                                              dense_prior=True)(
+    field, dxs = _compiled_lattice_solve(cfg, spec, phase_key,
+                                         dense_prior=True)(
         params, jnp.asarray(xs), jnp.asarray(ms),
         jnp.asarray(c0), jnp.asarray(dest),
         jnp.asarray(plan.slot_cell_pt),
@@ -224,7 +224,7 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
         tuple(jnp.asarray(v) for v in plan.vox_active),
         cfg.voxel_size, cfg.approx_kernel_grad,
         compute_dtype=cfg.solver_compute_dtype,
-        dense_xs=dxs, dense_fc=dfc)
+        dense_xs=dxs)
     return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth,
                      udf_host=cand_host if cfg.udf_enabled else None,
                      udf_caps=tuple(cand_caps), lattice_ctx=ctx)

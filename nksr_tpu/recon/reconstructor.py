@@ -310,7 +310,7 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
                 nv = prior + nv
             nvals.append(nv)
         gr_targets = -jnp.concatenate(nvals, 0)
-        alphas, dense_xs, dense_fc = LAT.lattice_solve(
+        alphas, dense_xs = LAT.lattice_solve(
             spec, interp, basis_feats, xyz_sorted, mask_sorted,
             pt_cell0, pt_dest, slot_cells_pt, slot_cells_gr,
             gr_coords, gr_depth, gr_active, gr_targets,
@@ -338,9 +338,9 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
             mf = mf.set_level_set(2.0 * cfg.voxel_size)
         else:
             mf = LayerField(dec_svh, cfg.adaptive_depth)
-        # the dense artifacts ride along so the lattice evaluator can
-        # skip rebuilding its tables (fields/lattice_eval.py)
-        return field.set_mask_field(mf), dense_xs, dense_fc
+        # the packed solution lattices ride along so the lattice
+        # evaluator skips re-scattering them (fields/lattice_eval.py)
+        return field.set_mask_field(mf), dense_xs
     return jax.jit(fn)
 
 
@@ -699,7 +699,7 @@ class Reconstructor:
             dest[:n] = plan.pt_dest
             tm.lap("lattice plan")
             phase_key = tuple(map(tuple, plan.phase.tolist()))
-            field, dxs, dfc = _compiled_lattice_solve(
+            field, dxs = _compiled_lattice_solve(
                 cfg, spec, phase_key, dense_prior=dense_unet)(
                 self.network.params, jnp.asarray(xs), jnp.asarray(ms),
                 jnp.asarray(c0), jnp.asarray(dest),
@@ -728,7 +728,7 @@ class Reconstructor:
                 tuple(jnp.asarray(v) for v in plan.vox_active),
                 cfg.voxel_size, cfg.approx_kernel_grad,
                 compute_dtype=cfg.solver_compute_dtype,
-                dense_xs=dxs, dense_fc=dfc)
+                dense_xs=dxs)
             return HostField(
                 field, cfg, dec_grids, dec_caps, cfg.adaptive_depth,
                 udf_host=grids if cfg.udf_enabled else None,
