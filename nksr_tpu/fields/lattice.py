@@ -528,21 +528,38 @@ def _up2(a: jnp.ndarray, dims_c, dims_f) -> jnp.ndarray:
     """(cells_c, L) -> (cells_f, L): one 2x nearest upsample step between
     nested lattices (step phase 0: fine cell l has parent l >> 1).
 
-    Every intermediate keeps the lane dim L minor and >= 32-lane-wide;
-    the only relayout is the z-duplication lane-concat reshape.
+    Pass order is chosen from the round-4 HLO trace
+    (scripts/profile_matvec_trace.py): every materialized pass runs near
+    wire speed, so cost == passes x bytes.  Hence (a) the coarse buffer
+    is trimmed ONCE up front (ceil(fine/2) extent; a coarse-size copy
+    replaces the former fine-size trim slices, measured 2.0+ ms each at
+    bench scale); (b) the z duplication — the one step whose lane-concat
+    reshape cannot fuse — runs FIRST, while the buffer is still ~1/4 of
+    fine size; (c) the x duplication runs LAST: a leading-axis broadcast
+    of contiguous blocks is the cheapest full-size pass.  Odd fine
+    extents trim after the corresponding duplication (rare: the plan
+    emits even dims).
     """
     xc, yc, zc = dims_c
     xf, yf, zf = dims_f
     L = a.shape[-1]
+    cx, cy, cz = (xf + 1) // 2, (yf + 1) // 2, (zf + 1) // 2
     a = a.reshape(xc, yc, zc, L)
-    a = jnp.broadcast_to(a[:, None], (xc, 2, yc, zc, L))
-    a = a.reshape(2 * xc, yc, zc, L)[:xf]
-    a = jnp.broadcast_to(a[:, :, None], (xf, yc, 2, zc, L))
-    a = a.reshape(xf, 2 * yc, zc, L)[:, :yf]
+    if (cx, cy, cz) != (xc, yc, zc):
+        a = a[:cx, :cy, :cz]
     # z-dup via lane concat: row (..., z) = [A_z | A_z] reshaped so rows
     # 2z and 2z+1 both read A_z (row-major order preserved)
-    a = jnp.concatenate([a, a], axis=-1).reshape(xf, yf, 2 * zc, L)
-    a = a[:, :, :zf]
+    a = jnp.concatenate([a, a], axis=-1).reshape(cx, cy, 2 * cz, L)
+    if zf != 2 * cz:
+        a = a[:, :, :zf]
+    a = jnp.broadcast_to(a[:, :, None], (cx, cy, 2, zf, L))
+    a = a.reshape(cx, 2 * cy, zf, L)
+    if yf != 2 * cy:
+        a = a[:, :yf]
+    a = jnp.broadcast_to(a[:, None], (cx, 2, yf, zf, L))
+    a = a.reshape(2 * cx, yf, zf, L)
+    if xf != 2 * cx:
+        a = a[:xf]
     return a.reshape(xf * yf * zf, L)
 
 
@@ -553,18 +570,31 @@ def _down2(a: jnp.ndarray, dims_f, dims_c) -> jnp.ndarray:
     Pair sums are written as row-major reshape-splits + axis sums, NOT
     ``a[..., 0::2] + a[..., 1::2]``: XLA lowers stride-2 slices of big
     4-D tensors to gathers with multi-GB padded temps (measured OOM
-    18.3G/15.75G at bench scale).  Each axis is padded just before its
-    own reduction so the largest temp is the z-padded input, once."""
+    18.3G/15.75G at bench scale).  Mirror of the new ``_up2`` pass
+    order: x-pair reduce first (leading-axis split, largest pass,
+    cheapest form), z-pair reduce last (smallest buffer), and the pad up
+    to the coarse extent happens ONCE at the end on the ~1/8-size coarse
+    buffer (the former per-axis pads were fine-size passes — 4.15 +
+    2.10 ms at bench scale in the round-4 trace).  Odd fine extents pad
+    by one before their own reduction (rare: the plan emits even
+    dims)."""
     xf, yf, zf = dims_f
     xc, yc, zc = dims_c
     L = a.shape[-1]
+    cx, cy, cz = (xf + 1) // 2, (yf + 1) // 2, (zf + 1) // 2
     a = a.reshape(xf, yf, zf, L)
-    a = jnp.pad(a, ((0, 0), (0, 0), (0, 2 * zc - zf), (0, 0)))
-    a = a.reshape(xf, yf, zc, 2, L).sum(axis=3)
-    a = jnp.pad(a, ((0, 0), (0, 2 * yc - yf), (0, 0), (0, 0)))
-    a = a.reshape(xf, yc, 2, zc, L).sum(axis=2)
-    a = jnp.pad(a, ((0, 2 * xc - xf), (0, 0), (0, 0), (0, 0)))
-    a = a.reshape(xc, 2, yc, zc, L).sum(axis=1)
+    if xf != 2 * cx:
+        a = jnp.pad(a, ((0, 1), (0, 0), (0, 0), (0, 0)))
+    a = a.reshape(cx, 2, yf, zf, L).sum(axis=1)
+    if yf != 2 * cy:
+        a = jnp.pad(a, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    a = a.reshape(cx, cy, 2, zf, L).sum(axis=2)
+    if zf != 2 * cz:
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    a = a.reshape(cx, cy, cz, 2, L).sum(axis=3)
+    if (cx, cy, cz) != (xc, yc, zc):
+        a = jnp.pad(a, ((0, xc - cx), (0, yc - cy), (0, zc - cz),
+                        (0, 0)))
     return a.reshape(xc * yc * zc, L)
 
 

@@ -96,13 +96,17 @@ def _candidate_fn(spec, f: int):
     def fn(mask0):
         shell = (mask0 > 0).reshape(X, Y, Z)
         m = jnp.repeat(jnp.repeat(jnp.repeat(shell, f, 0), f, 1), f, 2)
-        # one-ring dilation so rim quads stay sealed (host path analog)
+        # one-ring dilation so rim quads stay sealed (host path analog);
+        # the 27-neighborhood box dilation is separable: +-1 along each
+        # axis in sequence (6 shifted ORs instead of 26)
         dil = m
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    if dx or dy or dz:
-                        dil = dil | _shift(m, (dx, dy, dz), False)
+        for ax in range(3):
+            d_pos = [0, 0, 0]
+            d_pos[ax] = 1
+            d_neg = [0, 0, 0]
+            d_neg[ax] = -1
+            dil = dil | _shift(dil, tuple(d_pos), False) \
+                | _shift(dil, tuple(d_neg), False)
         # corner grid ((Xf+1)^3): corner c is used by cells c-offs
         cg = jnp.zeros((X * f + 1, Y * f + 1, Z * f + 1), bool)
         cg = cg.at[:-1, :-1, :-1].set(dil)
@@ -244,6 +248,30 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=32)
+def _newton_fn(spec, f: int, cap_n: int, voxel_size: float,
+               compute_dtype: str, approx_grad: bool, chunk: int = 1 << 17):
+    """jit 4: one Newton step toward the zero set, ON DEVICE.
+
+    The former host version fetched verts+centers (~22 MB), re-uploaded
+    the verts for the gradient wave, and fetched value+gradient back
+    (~14 MB) — ~1 s of pure transfer at the measured ~40 MB/s
+    device->host tunnel bandwidth.  Here the topology jit's outputs stay
+    in HBM and only the final verts cross the link once."""
+    from ..fields.lattice_eval import _eval_fn
+    s_f = voxel_size / f
+
+    def fn(interp_params, tables, origins, verts, centers):
+        ev = _eval_fn(spec, voxel_size, True, approx_grad, cap_n,
+                      chunk=chunk)
+        val, _, g = ev(interp_params, tables, origins, verts)
+        step = val[:, None] * g / (jnp.sum(g * g, 1, keepdims=True)
+                                   + 1e-12)
+        out = verts - jnp.clip(step, -0.5 * s_f, 0.5 * s_f)
+        return jnp.clip(out, centers - 0.5 * s_f, centers + 0.5 * s_f)
+    return jax.jit(fn)
+
+
 def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
                             texture=None,
                             max_points: Optional[int] = None
@@ -307,22 +335,34 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
         nqs = np.asarray(nqs)
     # device-slice to the live counts BEFORE fetching: the full
     # capacity-sized buffers would cross the device->host link
-    verts = np.asarray(verts[:nv])
-    centers = np.asarray(centers[:nv])
     quads = [np.asarray(quads[a, :int(nqs[a])]) for a in range(3)]
     flips = [np.asarray(flips[a, :int(nqs[a])]) for a in range(3)]
     tm.lap(f"dmc: topology ({nv} verts)")
 
     # ---- newton polish toward the zero set (as the host path does when
     # refining; one gradient wave through the shared evaluator), clipped
-    # to the dual cell box exactly like host_mc
+    # to the dual cell box exactly like host_mc — ON DEVICE: only the
+    # polished verts cross the device->host link (see _newton_fn)
     if mise_iter > 0 and nv:
-        s_f = ctx.voxel_size / f
-        v, _, g = ctx.eval_batched(verts, grad=True,
-                                   max_chunk=max_points)
-        step = v[:, None] * g / (np.sum(g * g, 1, keepdims=True) + 1e-12)
-        verts = verts - np.clip(step, -0.5 * s_f, 0.5 * s_f)
-        verts = np.clip(verts, centers - 0.5 * s_f, centers + 0.5 * s_f)
+        from ..fields.lattice_eval import _bucket_cap
+        cap_n = _bucket_cap(nv)
+        vv, cc = verts, centers
+        if cap_n <= vv.shape[0]:
+            vv, cc = vv[:cap_n], cc[:cap_n]
+        else:
+            pad = ((0, cap_n - vv.shape[0]), (0, 0))
+            vv, cc = jnp.pad(vv, pad), jnp.pad(cc, pad)
+        chunk = 1 << 17
+        if max_points is not None:
+            c = 1 << max(int(np.log2(max(int(max_points), 1))), 0)
+            while cap_n % c:
+                c >>= 1
+            chunk = max(min(chunk, c), 1)
+        verts = _newton_fn(spec, f, cap_n, ctx.voxel_size,
+                           ctx.compute_dtype, ctx.approx_grad,
+                           chunk=chunk)(
+            ctx.interp_params, tables, origins, vv, cc)
+    verts = np.asarray(verts[:nv])
     tm.lap("dmc: newton")
 
     tris = []

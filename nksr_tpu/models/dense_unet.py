@@ -153,6 +153,63 @@ def _dense_head(p, rows):
     return rows @ p["kernel"] + p["bias"]
 
 
+def _shift_read(a: jnp.ndarray, d, fill=0.0) -> jnp.ndarray:
+    """out[i] = a[i + d] over the leading 3 axes (reads beyond -> fill)."""
+    out = a
+    for ax, s in enumerate(d):
+        if s == 0:
+            continue
+        n = out.shape[ax]
+        pad = [(0, 0)] * out.ndim
+        sl = [slice(None)] * out.ndim
+        if s > 0:
+            sl[ax] = slice(s, None)
+            pad[ax] = (0, s)
+        else:
+            sl[ax] = slice(0, n + s)
+            pad[ax] = (-s, 0)
+        out = jnp.pad(out[tuple(sl)], pad, constant_values=fill)
+    return out
+
+
+def packed_corner_splat(dims, loc, blocks, indices_sorted: bool
+                        ) -> jnp.ndarray:
+    """Trilinear 8-corner scatter-add as ONE wide-row scatter + 8 dense
+    shifted adds.
+
+    ``loc``: (N, 3) BASE cell local coords (out-of-grid rows drop — pad
+    tails and masked rows must carry zero blocks).  ``blocks``: (N, 8, W)
+    per-corner rows, already weighted.  Returns (X*Y*Z, W) accumulated.
+
+    Why: the naive form is 8 scatters of W-wide rows (8N indexed rows);
+    TPU scatter cost is per ROW, and narrow rows pay ~134 ns vs ~23 ns
+    for 128-lane rows (BASELINE.md microbenchmarks) — measured 871 ms of
+    the 1.5 s dense UNet at the 1M-point bench.  Packing all 8 corner
+    blocks of a point into one (8W)-wide row keyed by the BASE cell cuts
+    indexed rows 8x; corner placement then becomes 8 dense shifted adds
+    (out[c] += buf[c - off, o]), a streaming pass XLA fuses.  Corner
+    contributions that would land outside the grid are never read —
+    exactly the per-corner bounds drop of the naive form (bases of live
+    points are in-grid by plan construction)."""
+    X, Y, Z = dims
+    nc = X * Y * Z
+    n, _, w = blocks.shape
+    ok = jnp.all((loc >= 0) & (loc < jnp.asarray([X, Y, Z])), axis=-1)
+    bid = jnp.where(ok, (loc[:, 0] * Y + loc[:, 1]) * Z + loc[:, 2], nc)
+    buf = jnp.zeros((nc + 1, 8 * w)).at[bid].add(
+        blocks.reshape(n, 8 * w), mode="drop",
+        indices_are_sorted=indices_sorted)
+    buf = buf[:-1].reshape(X, Y, Z, 8, w)
+    offs = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
+                    -1).reshape(8, 3)
+    acc = None
+    for o in range(8):
+        part = _shift_read(buf[:, :, :, o, :],
+                           tuple(-int(v) for v in offs[o]))
+        acc = part if acc is None else acc + part
+    return acc.reshape(nc, w)
+
+
 def encode_points(cfg, params, dims, origins, xyz, point_feat, point_mask,
                   base0=None, splat_sorted: bool = False):
     """Point encoder on the depth-0 dense lattice: trilinear 8-corner
@@ -186,10 +243,6 @@ def encode_points(cfg, params, dims, origins, xyz, point_feat, point_mask,
                            1.0 - frac[:, None, :]), axis=-1)
     X, Y, Z = dims[0]
     nc0 = X * Y * Z
-    loc = corner - origins[0][None, None, :]
-    ok = jnp.all((loc >= 0) & (loc < jnp.asarray([X, Y, Z])), axis=-1)
-    cid = (loc[..., 0] * Y + loc[..., 1]) * Z + loc[..., 2]
-    cid = jnp.where(ok, cid, nc0)
     wm = jnp.where(point_mask[:, None], w, 0.0)
     offset = (xyz[:, None, :]
               - corner.astype(jnp.float32) * voxel_size) / voxel_size
@@ -198,20 +251,16 @@ def encode_points(cfg, params, dims, origins, xyz, point_feat, point_mask,
     raw = jnp.concatenate([
         jnp.broadcast_to(pf[:, None, :],
                          (xyz.shape[0], 8, pf.shape[-1])), offset], -1)
-    # 8 per-corner scatters instead of one 8N-row scatter: with
-    # cell-sorted points (splat_sorted) each corner's flat ids are the
-    # sorted ids + a constant (pack64 key order == flat-id order), so
-    # every scatter is sorted
-    acc = jnp.zeros((nc0 + 1, raw.shape[-1]))
-    wsum = jnp.zeros((nc0 + 1,))
+    # ONE wide-row scatter keyed by the base cell + 8 dense shifted adds
+    # (packed_corner_splat) — narrow per-corner scatters paid per-row
+    # cost 8x over (measured 871 ms of the dense UNet at bench scale)
     rw = raw * wm[..., None]
-    for o in range(8):
-        acc = acc.at[cid[:, o]].add(rw[:, o], mode="drop",
-                                    indices_are_sorted=splat_sorted)
-        wsum = wsum.at[cid[:, o]].add(wm[:, o], mode="drop",
-                                      indices_are_sorted=splat_sorted)
-    vox = acc[:-1] / (wsum[:-1, None] + 1e-8)
-    density = jnp.log1p(wsum[:-1])[:, None]
+    blocks = jnp.concatenate([rw, wm[..., None]], axis=-1)  # (N, 8, C+1)
+    acc3 = packed_corner_splat(dims[0], base - origins[0][None, :],
+                               blocks, splat_sorted)
+    vox = acc3[:, :-1] / (acc3[:, -1:] + 1e-8)
+    wsum_flat = acc3[:, -1]
+    density = jnp.log1p(wsum_flat)[:, None]
     h = jnp.concatenate([vox, density], axis=-1)
     h = jax.nn.silu(h @ enc["Dense_0"]["kernel"] + enc["Dense_0"]["bias"])
     return h @ enc["Dense_1"]["kernel"] + enc["Dense_1"]["bias"]

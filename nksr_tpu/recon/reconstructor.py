@@ -233,6 +233,7 @@ def _splat_normals_dense(spec, origins, d, voxel_size, xyz, normal, mask,
     at the voxel cells — identical rows to splat_normals_to_grid (the
     sparse scatter drops inactive corners; here they land in inactive
     cells that the gather never reads)."""
+    from ..models.dense_unet import packed_corner_splat
     vs_d = voxel_size * (2.0 ** d)
     g = xyz / vs_d
     base = jnp.floor(g).astype(jnp.int32)
@@ -240,18 +241,15 @@ def _splat_normals_dense(spec, origins, d, voxel_size, xyz, normal, mask,
     offs = jnp.asarray(np.stack(np.meshgrid(*([np.arange(2)] * 3),
                                             indexing="ij"),
                                 -1).reshape(8, 3), jnp.int32)
-    corner = base[:, None, :] + offs[None]
     w = jnp.prod(jnp.where(offs[None].astype(bool), frac[:, None, :],
                            1.0 - frac[:, None, :]), axis=-1)
-    X, Y, Z = spec.dims[d]
-    loc = corner - origins[d][None, None, :]
-    ok = jnp.all((loc >= 0) & (loc < jnp.asarray([X, Y, Z])), axis=-1)
-    cid = jnp.where(ok & mask[:, None],
-                    (loc[..., 0] * Y + loc[..., 1]) * Z + loc[..., 2],
-                    X * Y * Z)
-    acc = jnp.zeros((X * Y * Z + 1, 3)).at[cid.reshape(-1)].add(
-        (normal[:, None, :] * w[..., None]).reshape(-1, 3), mode="drop")
-    rows = jnp.take(acc[:-1], vox_cell, axis=0)
+    wm = jnp.where(mask[:, None], w, 0.0)
+    # one wide-row scatter + dense shifts instead of 8N narrow scatter
+    # rows (see packed_corner_splat; was the 8-corner scalar scatter)
+    blocks = normal[:, None, :] * wm[..., None]            # (N, 8, 3)
+    acc = packed_corner_splat(spec.dims[d], base - origins[d][None, :],
+                              blocks, False)
+    rows = jnp.take(acc, vox_cell, axis=0)
     rows = jnp.where(vox_active[:, None], rows, 0.0)
     return rows / (jnp.linalg.norm(rows, axis=-1, keepdims=True) + 1e-6)
 
