@@ -171,21 +171,19 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
             all_pos = all_pos & so
         cross = any_pos & ~all_pos & cand
         flatc = cross.reshape(-1)
-        rank = jnp.cumsum(flatc.astype(jnp.int32)) - 1       # 0-based
         n_verts = jnp.sum(flatc.astype(jnp.int32))
 
         # compacted crossing-cell ids
         cid = compact_ids(flatc, cap_v)
         cc = jnp.stack([cid // (Yf * Zf), (cid // Zf) % Yf, cid % Zf], -1)
 
-        # 8 corner values per compacted cell (static strides on the
-        # corner grid)
-        Yc, Zc = Yf + 1, Zf + 1
-        cflat = (cc[:, 0] * Yc + cc[:, 1]) * Zc + cc[:, 2]
-        vflat = v_dense.reshape(-1)
-        fv = jnp.stack(
-            [jnp.take(vflat, cflat + (int(o[0]) * Yc + int(o[1])) * Zc
-                      + int(o[2])) for o in offs], -1)      # (cap_v, 8)
+        # 8 corner values per compacted cell: dense shifted stack + ONE
+        # 8-lane row gather (8 scalar-row gathers paid ~22 ns/row each)
+        fv_dense = jnp.stack(
+            [v_dense[int(o[0]):int(o[0]) + Xf, int(o[1]):int(o[1]) + Yf,
+                     int(o[2]):int(o[2]) + Zf] for o in offs],
+            -1).reshape(-1, 8)
+        fv = jnp.take(fv_dense, cid, axis=0)                # (cap_v, 8)
 
         cw = cc + origins[0][None, :] * f                   # world cell
         corner_w = (cw[:, None, :] + offs[None]).astype(jnp.float32)
@@ -208,38 +206,52 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
         # crossing.  Every quad's BASE corner equals a crossing cell's
         # min corner (offset row 0 of _QUAD_VOX_OFFS is (0,0,0) for all
         # three axes), so candidates are enumerated over the COMPACTED
-        # crossing cells (cap_v rows) instead of the dense corner grid:
-        # the former dense form paid 3 full-grid shift/compaction passes
-        # (~0.7 s of the ~1.0 s topology phase at the 1M-point bench);
-        # this form is ~10 clip-gathers x cap_v rows.  Quad order is
-        # unchanged (crossing cells enumerate ascending flat ids, the
-        # same order the dense corner-grid scan produced).
+        # crossing cells (cap_v rows).  Everything a quad test needs —
+        # crossing bit, 1-based vertex rank, and the signs of the base
+        # corner and its three +axis corner neighbors — is PACKED into
+        # one int32 per cell; a dense 7-offset shifted stack then lets
+        # ONE (cap_v, 7) row gather replace the former ~25 scalar-row
+        # gathers (measured ~0.8 s of the 1.1 s topology jit at the
+        # 1M-point bench: scalar gathers pay ~22 ns/row regardless of
+        # row bytes).  Quad order is unchanged (crossing cells enumerate
+        # ascending flat ids).
+        csum = jnp.cumsum(flatc.astype(jnp.int32))       # rank + 1
+        i32 = jnp.int32
+        s0 = S[:Xf, :Yf, :Zf].astype(i32)
+        sx = S[1:Xf + 1, :Yf, :Zf].astype(i32)
+        sy = S[:Xf, 1:Yf + 1, :Zf].astype(i32)
+        sz = S[:Xf, :Yf, 1:Zf + 1].astype(i32)
+        key = (csum.reshape(Xf, Yf, Zf) << 5) \
+            | (cross.astype(i32) << 4) \
+            | s0 | (sx << 1) | (sy << 2) | (sz << 3)
+        # union of the 12 quad-cell offsets over the 3 axes: 7 distinct
+        offs7 = np.array([[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+                          [1, 0, 0], [1, 0, 1], [1, 1, 0]], np.int64)
+        lane_of = {tuple(int(v) for v in o): i
+                   for i, o in enumerate(offs7)}
+        nbr = jnp.stack(
+            [_shift(key, tuple(-int(v) for v in o), 0) for o in offs7],
+            -1).reshape(-1, 7)
+        rows = jnp.take(nbr, cid, axis=0)                # (cap_v, 7)
+
         quads, flips, nqs = [], [], []
         live_v = jnp.arange(cap_v) < n_verts
-        crossflat = cross.reshape(-1)
-        sflat = S.reshape(-1)
-        Ycg, Zcg = Yf + 1, Zf + 1
-        qcorner = (cc[:, 0] * Ycg + cc[:, 1]) * Zcg + cc[:, 2]
-        s_base = jnp.take(sflat, qcorner)
+        base = rows[:, 0]
+        s_base = (base & 1).astype(bool)
         for a in range(3):
-            e = np.eye(3, dtype=np.int64)[a]
-            cstride = int((e[0] * Ycg + e[1]) * Zcg + e[2])
-            # base corner of a crossing cell is never on the last corner
-            # plane along a (cell coords < Xf), so +a neighbor exists
-            ok4 = live_v & (s_base != jnp.take(sflat, qcorner + cstride))
-            rid4 = []
-            for off in _QUAD_VOX_OFFS[a]:
-                nb = cc - jnp.asarray(off, cc.dtype)[None]
-                inb = jnp.all(nb >= 0, axis=1)
-                nbflat = (nb[:, 0] * Yf + nb[:, 1]) * Zf + nb[:, 2]
-                nbflat = jnp.where(inb, nbflat, 0)
-                ok4 = ok4 & inb & jnp.take(crossflat, nbflat)
-                rid4.append(jnp.take(rank, nbflat))
+            sa = ((base >> (a + 1)) & 1).astype(bool)
+            lanes4 = [lane_of[tuple(int(v) for v in off)]
+                      for off in _QUAD_VOX_OFFS[a]]
+            ok4 = live_v & (s_base != sa)
+            for ln in lanes4:
+                ok4 = ok4 & ((rows[:, ln] >> 4) & 1).astype(bool)
             nq = jnp.sum(ok4.astype(jnp.int32))
-            qid = compact_ids(ok4, cap_q)           # over cap_v rows
+            qid = compact_ids(ok4, cap_q)                # over cap_v rows
             liveq = jnp.arange(cap_q) < nq
-            vids = jnp.stack([jnp.take(r, qid) for r in rid4], -1)
-            flip = ~jnp.take(s_base, qid)
+            qrows = jnp.take(rows, qid, axis=0)          # (cap_q, 7)
+            vids = jnp.stack(
+                [(qrows[:, ln] >> 5) - 1 for ln in lanes4], -1)
+            flip = ~(qrows[:, 0] & 1).astype(bool)
             quads.append(jnp.where(liveq[:, None], vids, -1))
             flips.append(flip & liveq)
             nqs.append(nq)

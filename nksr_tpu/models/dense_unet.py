@@ -194,12 +194,19 @@ def packed_corner_splat(dims, loc, blocks, indices_sorted: bool
     X, Y, Z = dims
     nc = X * Y * Z
     n, _, w = blocks.shape
+    # pad the per-corner block so the scattered row width is a power of
+    # two >= 64: measured per-row scatter cost at 1M sorted rows is
+    # 214 ns (W=56) / 176 (32) / 158 (24) vs 69 (64) / 51 (128) — the
+    # sub-64 / non-pow2 widths fall off a cliff
+    wp = max(8, 1 << int(np.ceil(np.log2(w))))
+    if w < wp:
+        blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, wp - w)))
     ok = jnp.all((loc >= 0) & (loc < jnp.asarray([X, Y, Z])), axis=-1)
     bid = jnp.where(ok, (loc[:, 0] * Y + loc[:, 1]) * Z + loc[:, 2], nc)
-    buf = jnp.zeros((nc + 1, 8 * w)).at[bid].add(
-        blocks.reshape(n, 8 * w), mode="drop",
+    buf = jnp.zeros((nc + 1, 8 * wp)).at[bid].add(
+        blocks.reshape(n, 8 * wp), mode="drop",
         indices_are_sorted=indices_sorted)
-    buf = buf[:-1].reshape(X, Y, Z, 8, w)
+    buf = buf[:-1].reshape(X, Y, Z, 8, wp)
     offs = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
                     -1).reshape(8, 3)
     acc = None
@@ -207,7 +214,7 @@ def packed_corner_splat(dims, loc, blocks, indices_sorted: bool
         part = _shift_read(buf[:, :, :, o, :],
                            tuple(-int(v) for v in offs[o]))
         acc = part if acc is None else acc + part
-    return acc.reshape(nc, w)
+    return acc.reshape(nc, wp)[:, :w]
 
 
 def encode_points(cfg, params, dims, origins, xyz, point_feat, point_mask,

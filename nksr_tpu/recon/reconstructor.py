@@ -631,6 +631,31 @@ class Reconstructor:
                 plan.spec.dims[0]) + 8
             feat_s = jnp.take(feat, jnp.asarray(perm_p), axis=0) \
                 if feat is not None else None
+            # pre-upload the solve's plan arrays (~100 MB) while the
+            # device is still idle: device_put on this tunneled platform
+            # blocks the host AND serializes with running compute
+            # (measured 67 MB: 0.23 s idle vs 1.94 s mid-compute), so
+            # uploading after the network dispatch cost ~2 s of the
+            # solve lap at the 1M-point bench
+            ncap = plan.spec.n_pts_cap
+            xs_h = np.zeros((ncap, 3), np.float32)
+            xs_h[:n] = xyz[plan.pt_perm]
+            ms_h = np.zeros(ncap, bool)
+            ms_h[:n] = True
+            c0_h = np.zeros((ncap, 3), np.int32)
+            c0_h[:n] = plan.pt_cell0
+            dest_h = np.full(ncap, plan.spec.p_rows * plan.spec.s_pt,
+                             np.int32)
+            dest_h[:n] = plan.pt_dest
+            solve_dev = jax.device_put(
+                (xs_h, ms_h, c0_h, dest_h,
+                 plan.slot_cell_pt, plan.slot_cell_gr,
+                 plan.slot_cell0_pt, plan.slot_cell0_gr,
+                 plan.gr_perm, plan.gr_coords, plan.gr_depth,
+                 plan.gr_active, tuple(plan.vox_cell),
+                 tuple(plan.vox_active), xyz_p, mask,
+                 feat if cfg.feature == "normal" else None))
+            tm.lap("solve upload (pre-net)")
             basis_f, normal_f, struct_f, udf_f = _compiled_dense_unet(
                 cfg, plan.spec, True)(
                 self.network.params, jnp.asarray(plan.origins.astype(
@@ -686,31 +711,44 @@ class Reconstructor:
                         dec_grids[:cfg.adaptive_depth],
                         dec_caps[:cfg.adaptive_depth], xyz,
                         presorted=orders[:cfg.adaptive_depth]))
-            ncap = spec.n_pts_cap
-            xs = np.zeros((ncap, 3), np.float32)
-            xs[:n] = xyz[plan.pt_perm]
-            ms = np.zeros(ncap, bool)
-            ms[:n] = True
-            c0 = np.zeros((ncap, 3), np.int32)
-            c0[:n] = plan.pt_cell0
-            dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
-            dest[:n] = plan.pt_dest
+            if dense_unet:
+                # plan arrays were device_put BEFORE the network
+                # dispatch (see "solve upload (pre-net)")
+                (xs_d, ms_d, c0_d, dest_d, scp_d, scg_d, sc0p_d,
+                 sc0g_d, grp_d, grc_d, grd_d, gra_d, vc_d, va_d,
+                 xyzp_d, mask_d, inorm_d) = solve_dev
+            else:
+                ncap = spec.n_pts_cap
+                xs = np.zeros((ncap, 3), np.float32)
+                xs[:n] = xyz[plan.pt_perm]
+                ms = np.zeros(ncap, bool)
+                ms[:n] = True
+                c0 = np.zeros((ncap, 3), np.int32)
+                c0[:n] = plan.pt_cell0
+                dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
+                dest[:n] = plan.pt_dest
+                (xs_d, ms_d, c0_d, dest_d, scp_d, scg_d, sc0p_d,
+                 sc0g_d, grp_d, grc_d, grd_d, gra_d, vc_d, va_d,
+                 xyzp_d, mask_d, inorm_d) = (
+                    jnp.asarray(xs), jnp.asarray(ms), jnp.asarray(c0),
+                    jnp.asarray(dest), jnp.asarray(plan.slot_cell_pt),
+                    jnp.asarray(plan.slot_cell_gr),
+                    jnp.asarray(plan.slot_cell0_pt),
+                    jnp.asarray(plan.slot_cell0_gr),
+                    jnp.asarray(plan.gr_perm),
+                    jnp.asarray(plan.gr_coords),
+                    jnp.asarray(plan.gr_depth),
+                    jnp.asarray(plan.gr_active),
+                    tuple(jnp.asarray(v) for v in plan.vox_cell),
+                    tuple(jnp.asarray(v) for v in plan.vox_active),
+                    jnp.asarray(xyz_p), jnp.asarray(mask), input_normal)
             tm.lap("lattice plan")
             phase_key = tuple(map(tuple, plan.phase.tolist()))
             field, dxs = _compiled_lattice_solve(
                 cfg, spec, phase_key, dense_prior=dense_unet)(
-                self.network.params, jnp.asarray(xs), jnp.asarray(ms),
-                jnp.asarray(c0), jnp.asarray(dest),
-                jnp.asarray(plan.slot_cell_pt),
-                jnp.asarray(plan.slot_cell_gr),
-                jnp.asarray(plan.slot_cell0_pt),
-                jnp.asarray(plan.slot_cell0_gr),
-                jnp.asarray(plan.gr_perm),
-                jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
-                jnp.asarray(plan.gr_active),
-                tuple(jnp.asarray(v) for v in plan.vox_cell),
-                tuple(jnp.asarray(v) for v in plan.vox_active),
-                jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
+                self.network.params, xs_d, ms_d, c0_d, dest_d,
+                scp_d, scg_d, sc0p_d, sc0g_d, grp_d, grc_d, grd_d,
+                gra_d, vc_d, va_d, xyzp_d, mask_d, inorm_d,
                 dec_svh, udf_svh, out.basis_features,
                 out.normal_features, out.udf_features, prior_idx)
             if tm.on:
@@ -722,8 +760,7 @@ class Reconstructor:
                 spec, plan.origins,
                 self.network.params["params"]["interpolators"],
                 out.basis_features, field.alpha,
-                tuple(jnp.asarray(v) for v in plan.vox_cell),
-                tuple(jnp.asarray(v) for v in plan.vox_active),
+                vc_d, va_d,
                 cfg.voxel_size, cfg.approx_kernel_grad,
                 compute_dtype=cfg.solver_compute_dtype,
                 dense_xs=dxs)
