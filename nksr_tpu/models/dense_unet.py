@@ -76,7 +76,12 @@ def _conv27(x, w27, b, dims, cdt):
     """Submanifold 27-tap conv as conv3d.  x: (cells, Cin) dense-flat;
     w27: (27, Cin, Cout) in stencil_offsets(3) tap order (offset o ->
     tap ((ox+1)*3+(oy+1))*3+(oz+1)), which IS the row-major (3,3,3)
-    kernel layout of a SAME-padded cross-correlation."""
+    kernel layout of a SAME-padded cross-correlation.
+
+    Output stays in ``cdt``: with bf16 compute the f32 conv output paid
+    a doubled write stream per conv (~10 ms each at the 1M-point bench);
+    the MXU still accumulates in f32 internally, and GroupNorm computes
+    its statistics in f32 regardless of activation dtype."""
     X, Y, Z = dims
     cin, cout = w27.shape[1], w27.shape[2]
     k = w27.reshape(3, 3, 3, cin, cout).astype(cdt)
@@ -84,22 +89,32 @@ def _conv27(x, w27, b, dims, cdt):
         x.reshape(1, X, Y, Z, cin).astype(cdt), k,
         window_strides=(1, 1, 1), padding="SAME",
         dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-        preferred_element_type=jnp.float32)
-    return out.reshape(X * Y * Z, cout) + b
+        preferred_element_type=cdt)
+    return out.reshape(X * Y * Z, cout) + b.astype(cdt)
 
 
 def _group_norm(x, mask, scale, bias, num_groups=8):
-    """MaskedGroupNorm (models/network.py) on dense-flat features."""
+    """MaskedGroupNorm (models/network.py) on dense-flat features.
+
+    Statistics accumulate in f32 even for bf16 activations (an 8.6M-row
+    bf16 sum would lose the mean to cancellation); the normalization is
+    applied elementwise in the activation dtype."""
+    f32 = jnp.float32
     c = x.shape[-1]
     g = min(num_groups, c)
     xg = x.reshape(x.shape[0], g, c // g)
-    m = mask[:, None, None].astype(x.dtype)
-    n = jnp.maximum(jnp.sum(m) * (c // g), 1.0)
-    mean = jnp.sum(xg * m, axis=(0, 2), keepdims=True) / n
-    var = jnp.sum(((xg - mean) ** 2) * m, axis=(0, 2), keepdims=True) / n
-    xg = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
+    m32 = mask[:, None, None].astype(f32)
+    n = jnp.maximum(jnp.sum(m32) * (c // g), 1.0)
+    xg32 = xg.astype(f32)
+    mean = jnp.sum(xg32 * m32, axis=(0, 2), keepdims=True) / n
+    var = jnp.sum(((xg32 - mean) ** 2) * m32, axis=(0, 2),
+                  keepdims=True) / n
+    inv = jax.lax.rsqrt(var + 1e-5)
+    xg = (xg - mean.astype(x.dtype)) * inv.astype(x.dtype)
     x = xg.reshape(x.shape)
-    return jnp.where(mask[:, None], x * scale + bias, 0.0)
+    return jnp.where(mask[:, None],
+                     x * scale.astype(x.dtype) + bias.astype(x.dtype),
+                     jnp.zeros((), x.dtype))
 
 
 def _conv_block(p, x, mask, dims, cdt):
@@ -128,8 +143,8 @@ def _down(x_f, w8, b, dims_f, dims_c, cdt):
     a = a.reshape(xc, 2, yc, 2, zc, 2, cin)
     k = w8.reshape(2, 2, 2, cin, -1).astype(cdt)
     out = jnp.einsum("xaybzci,abcio->xyzo", a.astype(cdt), k,
-                     preferred_element_type=jnp.float32)
-    return out.reshape(xc * yc * zc, -1) + b
+                     preferred_element_type=cdt)
+    return out.reshape(xc * yc * zc, -1) + b.astype(cdt)
 
 
 def _up(x_c, w8, dims_c, dims_f, cdt):
@@ -141,7 +156,7 @@ def _up(x_c, w8, dims_c, dims_f, cdt):
     cin = x_c.shape[-1]
     k = w8.reshape(2, 2, 2, cin, -1).astype(cdt)
     y = jnp.einsum("pi,abcio->pabco", x_c.astype(cdt), k,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=cdt)
     cout = y.shape[-1]
     y = y.reshape(xc, yc, zc, 2, 2, 2, cout)
     y = jnp.moveaxis(y, (3, 4, 5), (1, 3, 5))     # (xc,2,yc,2,zc,2,C)
@@ -298,7 +313,7 @@ def dense_unet_apply(cfg, params, spec, origins, tables: DenseUNetTables,
     # ---------------- encoder: trilinear point splat + MLP --------------
     h = encode_points(cfg, params, spec.dims, origins, xyz, point_feat,
                       point_mask, base0=base0, splat_sorted=splat_sorted)
-    f = jnp.where(occ[0][:, None], h, 0.0)
+    f = jnp.where(occ[0][:, None], h, 0.0).astype(cdt)
 
     # ---------------- encoder path ---------------------------------------
     enc_feats = []

@@ -195,21 +195,23 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
     dest = np.full(ncap, spec.p_rows * spec.s_pt, np.int32)
     dest[:n] = plan.pt_dest
     phase_key = tuple(map(tuple, plan.phase.tolist()))
-    prior_idx = jnp.asarray(plan.origins.astype(np.int32))
+    import jax as _jax
+    # ONE batched device_put for all plan arrays: per-call transfer
+    # overhead on the tunneled platform makes ~17 separate uploads
+    # measurably slower than one (reconstructor.py "solve upload")
+    (xs_d, ms_d, c0_d, dest_d, scp_d, scg_d, sc0p_d, sc0g_d, grp_d,
+     grc_d, grd_d, gra_d, vc_d, va_d, xyzp_d, mask_d,
+     prior_idx) = _jax.device_put(
+        (xs, ms, c0, dest, plan.slot_cell_pt, plan.slot_cell_gr,
+         plan.slot_cell0_pt, plan.slot_cell0_gr, plan.gr_perm,
+         plan.gr_coords, plan.gr_depth, plan.gr_active,
+         tuple(plan.vox_cell), tuple(plan.vox_active), xyz_p, mask,
+         plan.origins.astype(np.int32)))
     field, dxs = _compiled_lattice_solve(cfg, spec, phase_key,
                                          dense_prior=True)(
-        params, jnp.asarray(xs), jnp.asarray(ms),
-        jnp.asarray(c0), jnp.asarray(dest),
-        jnp.asarray(plan.slot_cell_pt),
-        jnp.asarray(plan.slot_cell_gr),
-        jnp.asarray(plan.slot_cell0_pt),
-        jnp.asarray(plan.slot_cell0_gr),
-        jnp.asarray(plan.gr_perm),
-        jnp.asarray(plan.gr_coords), jnp.asarray(plan.gr_depth),
-        jnp.asarray(plan.gr_active),
-        tuple(jnp.asarray(v) for v in plan.vox_cell),
-        tuple(jnp.asarray(v) for v in plan.vox_active),
-        jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,
+        params, xs_d, ms_d, c0_d, dest_d, scp_d, scg_d, sc0p_d, sc0g_d,
+        grp_d, grc_d, grd_d, gra_d, vc_d, va_d,
+        xyzp_d, mask_d, input_normal,
         dec_svh, udf_svh, basis_f, normal_f,
         udf_f if cfg.udf_enabled else None, prior_idx)
     if tm.on:
@@ -219,9 +221,7 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
 
     ctx = LatticeEvalContext(
         spec, plan.origins, params["params"]["interpolators"],
-        basis_f, field.alpha,
-        tuple(jnp.asarray(v) for v in plan.vox_cell),
-        tuple(jnp.asarray(v) for v in plan.vox_active),
+        basis_f, field.alpha, vc_d, va_d,
         cfg.voxel_size, cfg.approx_kernel_grad,
         compute_dtype=cfg.solver_compute_dtype,
         dense_xs=dxs)
