@@ -38,10 +38,25 @@ def pack64(coords: np.ndarray) -> np.ndarray:
 
 
 def unpack64(keys: np.ndarray) -> np.ndarray:
+    if keys.ndim == 1:
+        from ..native import unpack_keys
+        out = unpack_keys(keys)
+        if out is not None:
+            return out
     i = (keys >> 42) - (1 << 20)
     j = ((keys >> 21) & ((1 << 21) - 1)) - (1 << 20)
     k = (keys & ((1 << 21) - 1)) - (1 << 20)
     return np.stack([i, j, k], -1).astype(np.int32)
+
+
+def pack_floor64(xyz: np.ndarray, voxel_size: float) -> np.ndarray:
+    """``pack64(floor(xyz / voxel_size))`` — fused native pass when
+    available (bit-identical: f32 division + floor either way)."""
+    from ..native import pack_floor_keys
+    out = pack_floor_keys(xyz, voxel_size)
+    if out is not None:
+        return out
+    return pack64(np.floor(xyz / voxel_size).astype(np.int64))
 
 
 class HostGrid(NamedTuple):
@@ -78,6 +93,10 @@ def _half_keys(keys: np.ndarray) -> np.ndarray:
     sorted array yields a merge of 8 sorted runs (one per parity class
     of (i&1, j&1, k&1)), so callers re-sort with a stable nearly-sorted
     pass, which is ~3x cheaper than a fresh radix_argsort."""
+    from ..native import half_keys
+    out = half_keys(keys)
+    if out is not None:
+        return out
     b = np.int64(1 << 20)
     m = np.int64((1 << 21) - 1)
     i = (keys >> 42) - b
@@ -102,7 +121,7 @@ def build_splat_grids_ex(xyz: np.ndarray, voxel_size: float, depth: int):
 
     grids, orders = [], []
     deltas = np.array([_offset_delta(o) for o in _OFFS2], np.int64)
-    base = pack64(np.floor(xyz / voxel_size).astype(np.int64))
+    base = pack_floor64(xyz, voxel_size)
     order = radix_argsort(base)
     sb = base[order]
     for d in range(depth):

@@ -163,6 +163,14 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
     # Margin 2 on both sides so local cell 0 can never touch an active
     # voxel: out-of-bbox queries alias to cell 0 and read zero basis —
     # exactly the sparse path's idx==-1 masking.
+    from ..native import coord_minmax
+
+    def _cminmax(c):
+        mm = coord_minmax(c)
+        if mm is not None:
+            return mm[0].astype(np.int64), mm[1].astype(np.int64)
+        return c.min(0).astype(np.int64), c.max(0).astype(np.int64)
+
     lo_t, hi_t = [], []
     for d in range(depth):
         c = dec_grids[d].coords
@@ -170,8 +178,9 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
             lo_t.append(np.zeros(3, np.int64))
             hi_t.append(np.ones(3, np.int64))
         else:
-            lo_t.append(c.min(0).astype(np.int64) - 2)
-            hi_t.append(c.max(0).astype(np.int64) + 2)
+            mn, mx = _cminmax(c)
+            lo_t.append(mn - 2)
+            hi_t.append(mx + 2)
     # The depth-0 FRAME must contain every fused-gather address (AV0 is
     # indexed at depth-0 resolution): all point depth-0 cells and every
     # grad slot's (c_dd << dd).  With a pruned decoder depth 0 (adaptive
@@ -180,14 +189,18 @@ def plan_lattice(grids, caps: Sequence[int], xyz: np.ndarray,
     cand_hi = [hi_t[0] - 2]
     sb_all = sorted_base0
     if n and len(sb_all):
-        c0_all = unpack64(sb_all).astype(np.int64)
-        cand_lo.append(c0_all.min(0))
-        cand_hi.append(c0_all.max(0))
+        # sorted keys: componentwise x-bounds are free (ends of the
+        # sorted order); y/z still need a pass
+        c0_all = unpack64(sb_all)
+        mn, mx = _cminmax(c0_all)
+        cand_lo.append(mn)
+        cand_hi.append(mx)
     for dd in range(adaptive_depth):
         c = dec_grids[dd].coords
         if len(c):
-            cand_lo.append(c.min(0).astype(np.int64) * (1 << dd))
-            cand_hi.append(c.max(0).astype(np.int64) * (1 << dd))
+            mn, mx = _cminmax(c)
+            cand_lo.append(mn * (1 << dd))
+            cand_hi.append(mx * (1 << dd))
     lo_t[0] = np.minimum.reduce(cand_lo) - 2
     hi_t[0] = np.maximum.reduce(cand_hi) + 2
     # ZERO-PHASE nesting: pick o0 so that o_d = o0 >> d simultaneously
@@ -1066,7 +1079,8 @@ def lattice_solve(spec: LatticeSpec, interp,
                   compute_dtype: str = "float32",
                   formulation: str = "primal",
                   cascade_engine: str = "xla",
-                  return_dense: bool = False) -> Tuple[jnp.ndarray, ...]:
+                  return_dense: bool = False,
+                  return_stats: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Fit flat per-depth coefficients (cap_d * K,) — same output
     convention as KernelField.solve_non_fused, same math, dense engine.
 
@@ -1090,8 +1104,24 @@ def lattice_solve(spec: LatticeSpec, interp,
     ``depth`` of each), with the row blocks held in ``compute_dtype``
     (bf16 on TPU: half the HBM traffic of the dominant streams, f32
     accumulation everywhere).
+
+    ``return_stats``: additionally return ``(iters, rel_res)`` CG
+    convergence diagnostics (appended last).  Uses the raw PCG loop
+    instead of ``custom_linear_solve`` — inference callers only (the
+    while_loop is not reverse-differentiable); the stats let callers
+    detect an unconverged solve instead of silently consuming it (the
+    round-4 dense-parity regression was exactly that: 40 iters at
+    tol=1e-5 returned rel_res ~1e-2 and two rounding trajectories of
+    the same unconverged system differed by 3.8% in field value).
     """
-    from ..solver.pcg import solve_spd
+    from ..solver.pcg import pcg, solve_spd
+
+    def run_solver(mv, rhs_, pc):
+        if return_stats:
+            return pcg(mv, rhs_, precond=pc, tol=tol,
+                       max_iters=max_iters)
+        return solve_spd(mv, rhs_, precond=pc, tol=tol,
+                         max_iters=max_iters), None, None
 
     depth, k = spec.depth, spec.k
     cdt = jnp.dtype(compute_dtype)
@@ -1256,8 +1286,8 @@ def lattice_solve(spec: LatticeSpec, interp,
             return jax.tree_util.tree_map(lambda ri, di: ri / di,
                                           r, diag_d)
 
-        u_pt, u_gr = solve_spd(dual_matvec, rhs_d, precond=precond_d,
-                               tol=tol, max_iters=max_iters)
+        (u_pt, u_gr), it_d, res_d = run_solver(dual_matvec, rhs_d,
+                                               precond_d)
         xs = apply_AT(sw_pt * u_pt, sw_gr[None, :] * u_gr)
         alphas = []
         for d in range(depth):
@@ -1265,9 +1295,12 @@ def lattice_solve(spec: LatticeSpec, interp,
             rows = jnp.take(xs[d].reshape(-1, k), vox_cell[d], axis=0)
             rows = jnp.where(vox_active[d][:, None], rows, 0.0)
             alphas.append(rows.reshape(cap * k))
+        out = (tuple(alphas),)
         if return_dense:
-            return tuple(alphas), tuple(xs)
-        return tuple(alphas)
+            out = out + (tuple(xs),)
+        if return_stats:
+            out = out + ((it_d, res_d),)
+        return out if len(out) > 1 else out[0]
 
     # ---- primal formulation -----------------------------------------
     # rhs = A_g^T W_g targets (value rows have target 0)
@@ -1297,8 +1330,7 @@ def lattice_solve(spec: LatticeSpec, interp,
     xs0 = tuple(jnp.zeros((spec.n_cells(d) * k // 128, 128))
                 for d in range(depth))
     rhs = jax.tree_util.tree_map(lambda r, x: r + 0.0 * x, rhs, xs0)
-    xs = solve_spd(matvec, rhs, precond=precond, tol=tol,
-                   max_iters=max_iters)
+    xs, it_p, res_p = run_solver(matvec, rhs, precond)
 
     # extract per-voxel flat (cap_d * k,) coefficients
     alphas = []
@@ -1307,6 +1339,9 @@ def lattice_solve(spec: LatticeSpec, interp,
         rows = jnp.take(xs[d].reshape(-1, k), vox_cell[d], axis=0)
         rows = jnp.where(vox_active[d][:, None], rows, 0.0)
         alphas.append(rows.reshape(cap * k))
+    out = (tuple(alphas),)
     if return_dense:
-        return tuple(alphas), tuple(xs)
-    return tuple(alphas)
+        out = out + (tuple(xs),)
+    if return_stats:
+        out = out + ((it_p, res_p),)
+    return out if len(out) > 1 else out[0]

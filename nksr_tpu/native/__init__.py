@@ -26,12 +26,17 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = _DIR / "libnksr_native.so"
-    if not so.exists():
+    srcs = list(_DIR.glob("*.cpp")) + [_DIR / "Makefile"]
+    stale = so.exists() and any(
+        s.stat().st_mtime > so.stat().st_mtime for s in srcs)
+    if not so.exists() or stale:
         try:
+            # make is dependency-checked: a fresh .so is a no-op
             subprocess.run(["make", "-C", str(_DIR)], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not so.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:
@@ -73,6 +78,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    if hasattr(lib, "pack_floor_keys_f32"):
+        lib.pack_floor_keys_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_int64)]
+        lib.half_keys_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.unpack_keys_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.minmax_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
     if hasattr(lib, "raycast_inside"):
         lib.raycast_inside.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -188,6 +206,66 @@ def merge_unique(sorted_base: np.ndarray, deltas: np.ndarray) -> np.ndarray:
         d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), d.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out[:m]
+
+
+def pack_floor_keys(xyz: np.ndarray, voxel_size: float
+                    ) -> "np.ndarray | None":
+    """Fused ``pack64(floor(xyz / voxel_size))`` (one native pass;
+    bit-identical to the numpy form — single-precision division +
+    floorf).  Returns None when the native lib lacks the op."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack_floor_keys_f32"):
+        return None
+    x = np.ascontiguousarray(xyz, np.float32)
+    out = np.empty(x.shape[0], np.int64)
+    lib.pack_floor_keys_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.shape[0],
+        ctypes.c_float(voxel_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def half_keys(keys: np.ndarray) -> "np.ndarray | None":
+    """Fused per-component halving of packed keys (one native pass).
+    Returns None when the native lib lacks the op."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "half_keys_i64"):
+        return None
+    k = np.ascontiguousarray(keys, np.int64)
+    out = np.empty(k.shape[0], np.int64)
+    lib.half_keys_i64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def unpack_keys(keys: np.ndarray) -> "np.ndarray | None":
+    """Packed int64 keys -> (n, 3) int32 coords (one native pass).
+    Returns None when the native lib lacks the op."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "unpack_keys_i64"):
+        return None
+    k = np.ascontiguousarray(keys, np.int64)
+    out = np.empty((k.shape[0], 3), np.int32)
+    lib.unpack_keys_i64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def coord_minmax(coords: np.ndarray) -> "tuple | None":
+    """Componentwise (min, max) of (n, 3) int32 coords in one pass.
+    Returns None when the native lib lacks the op or n == 0."""
+    lib = _load()
+    c = np.ascontiguousarray(coords, np.int32)
+    if (lib is None or not hasattr(lib, "minmax_i32")
+            or c.shape[0] == 0):
+        return None
+    out = np.empty(6, np.int32)
+    lib.minmax_i32(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), c.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out[:3].copy(), out[3:].copy()
 
 
 def flat_cells(coords: np.ndarray, shift: int, origin, dims,

@@ -37,6 +37,42 @@ def _udf_mask_fn(cfg):
     return jax.jit(fn)
 
 
+class SolverStats:
+    """Lazy CG convergence diagnostics (iters run, final relative
+    residual).  Device values are only materialized on first access so
+    attaching stats never forces a host sync mid-pipeline (the host
+    plans meshing while the device still runs the solve).  Mirrors the
+    reference's ``field.solver_config['verbose']`` observability
+    (/root/reference/models/nksr_net.py:97-98) as queryable data."""
+
+    def __init__(self, iters, rel_res, tol: float, max_iters: int):
+        self._iters = iters
+        self._rel_res = rel_res
+        self.tol = float(tol)
+        self.max_iters = int(max_iters)
+
+    @property
+    def iters(self) -> int:
+        if not isinstance(self._iters, int):
+            self._iters = int(np.asarray(self._iters))
+        return self._iters
+
+    @property
+    def rel_res(self) -> float:
+        if not isinstance(self._rel_res, float):
+            self._rel_res = float(np.asarray(self._rel_res))
+        return self._rel_res
+
+    @property
+    def converged(self) -> bool:
+        return self.rel_res <= self.tol
+
+    def __repr__(self):
+        return (f"SolverStats(iters={self.iters}, "
+                f"rel_res={self.rel_res:.3e}, tol={self.tol:.1e}, "
+                f"converged={self.converged})")
+
+
 class HostField:
     """Solved kernel field + host-side structure for fast queries."""
 
@@ -44,7 +80,7 @@ class HostField:
                  capacities: Sequence[int], adaptive_depth: int,
                  udf_host: Optional[List[HB.HostGrid]] = None,
                  udf_caps: Optional[Sequence[int]] = None,
-                 lattice_ctx=None):
+                 lattice_ctx=None, solver_stats=None):
         self.field = field
         self.cfg = cfg
         self.host_grids = host_grids
@@ -58,6 +94,8 @@ class HostField:
         # field was solved on the dense lattice — replaces the generic
         # host-support-table path for queries and meshing
         self.lattice_ctx = lattice_ctx
+        # CG convergence diagnostics (SolverStats; lattice engine only)
+        self.solver_stats = solver_stats
 
     def __getattr__(self, name):
         return getattr(self.field, name)

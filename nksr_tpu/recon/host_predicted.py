@@ -374,7 +374,8 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
         dest[:n] = plan.pt_dest
         tm.lap("lattice plan")
         phase_key = tuple(map(tuple, plan.phase.tolist()))
-        field = _compiled_lattice_solve(cfg, spec, phase_key)(
+        field, _dxs, _cg_stats = _compiled_lattice_solve(
+            cfg, spec, phase_key)(
             params, jnp.asarray(xs), jnp.asarray(ms),
             jnp.asarray(c0), jnp.asarray(dest),
             jnp.asarray(plan.slot_cell_pt),
@@ -400,10 +401,12 @@ def reconstruct_predicted_host(params, cfg: P.PipelineConfig,
             tuple(jnp.asarray(v) for v in plan.vox_active),
             cfg.voxel_size, cfg.approx_kernel_grad,
             compute_dtype=cfg.solver_compute_dtype)
+        from .reconstructor import _check_solver_stats
         return HostField(field, cfg, dec_host, dec_caps,
                          cfg.adaptive_depth,
                          udf_host=cand_host if cfg.udf_enabled else None,
-                         udf_caps=tuple(cand_caps), lattice_ctx=ctx)
+                         udf_caps=tuple(cand_caps), lattice_ctx=ctx,
+                         solver_stats=_check_solver_stats(_cg_stats, cfg))
 
     field = _final_fn(cfg)(
         params, jnp.asarray(xyz_p), jnp.asarray(mask), input_normal,

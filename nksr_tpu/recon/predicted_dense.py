@@ -207,8 +207,8 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
          plan.gr_coords, plan.gr_depth, plan.gr_active,
          tuple(plan.vox_cell), tuple(plan.vox_active), xyz_p, mask,
          plan.origins.astype(np.int32)))
-    field, dxs = _compiled_lattice_solve(cfg, spec, phase_key,
-                                         dense_prior=True)(
+    field, dxs, cg_stats = _compiled_lattice_solve(cfg, spec, phase_key,
+                                                   dense_prior=True)(
         params, xs_d, ms_d, c0_d, dest_d, scp_d, scg_d, sc0p_d, sc0g_d,
         grp_d, grc_d, grd_d, gra_d, vc_d, va_d,
         xyzp_d, mask_d, input_normal,
@@ -225,9 +225,11 @@ def reconstruct_predicted_dense(params, cfg: P.PipelineConfig,
         cfg.voxel_size, cfg.approx_kernel_grad,
         compute_dtype=cfg.solver_compute_dtype,
         dense_xs=dxs)
+    from .reconstructor import _check_solver_stats
     return HostField(field, cfg, dec_host, dec_caps, cfg.adaptive_depth,
                      udf_host=cand_host if cfg.udf_enabled else None,
-                     udf_caps=tuple(cand_caps), lattice_ctx=ctx)
+                     udf_caps=tuple(cand_caps), lattice_ctx=ctx,
+                     solver_stats=_check_solver_stats(cg_stats, cfg))
 
 
 def reconstruct_predicted_sharded(params, cfg: P.PipelineConfig,

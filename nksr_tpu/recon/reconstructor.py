@@ -254,6 +254,27 @@ def _splat_normals_dense(spec, origins, d, voxel_size, xyz, normal, mask,
     return rows / (jnp.linalg.norm(rows, axis=-1, keepdims=True) + 1e-6)
 
 
+def _check_solver_stats(cg_stats, cfg):
+    """Wrap raw (iters, rel_res) device scalars as lazy SolverStats.
+
+    In timing mode (NKSR_TIMING=1, where the pipeline already drains
+    between phases) the check is eager and an unconverged solve is
+    logged loudly — a solve that stops on max_iters with rel_res above
+    tol returns a trajectory-dependent solution (the round-4 parity
+    regression: two f32 reduction orders of the SAME system differed by
+    3.8% in field value at 40 unconverged iterations)."""
+    from .host_field import SolverStats
+    stats = SolverStats(cg_stats[0], cg_stats[1], cfg.solver_tol,
+                        cfg.solver_max_iters)
+    if os.environ.get("NKSR_TIMING", "0") == "1" and not stats.converged:
+        from ..utils.profiling import log_engine_demotion
+        log_engine_demotion(
+            "cg-converged", "cg-max-iters",
+            f"solve stopped at {stats.iters} iters with rel_res "
+            f"{stats.rel_res:.2e} > tol {stats.tol:.0e}")
+    return stats
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
                             dense_prior: bool = False):
@@ -308,7 +329,7 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
                 nv = prior + nv
             nvals.append(nv)
         gr_targets = -jnp.concatenate(nvals, 0)
-        alphas, dense_xs = LAT.lattice_solve(
+        alphas, dense_xs, cg_stats = LAT.lattice_solve(
             spec, interp, basis_feats, xyz_sorted, mask_sorted,
             pt_cell0, pt_dest, slot_cells_pt, slot_cells_gr,
             gr_coords, gr_depth, gr_active, gr_targets,
@@ -322,7 +343,8 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
             gr_perm=gr_perm,
             phase=phase, compute_dtype=cfg.solver_compute_dtype,
             formulation=cfg.solver_formulation,
-            cascade_engine=cascade_eng, return_dense=True)
+            cascade_engine=cascade_eng, return_dense=True,
+            return_stats=True)
         field = KernelField(
             svh=dec_svh, features=basis_feats, interp=interp,
             alpha=alphas, kernel_dim=cfg.kernel_dim,
@@ -338,7 +360,7 @@ def _compiled_lattice_solve(cfg: P.PipelineConfig, spec, phase_key,
             mf = LayerField(dec_svh, cfg.adaptive_depth)
         # the packed solution lattices ride along so the lattice
         # evaluator skips re-scattering them (fields/lattice_eval.py)
-        return field.set_mask_field(mf), dense_xs
+        return field.set_mask_field(mf), dense_xs, cg_stats
     return jax.jit(fn)
 
 
@@ -744,7 +766,7 @@ class Reconstructor:
                     jnp.asarray(xyz_p), jnp.asarray(mask), input_normal)
             tm.lap("lattice plan")
             phase_key = tuple(map(tuple, plan.phase.tolist()))
-            field, dxs = _compiled_lattice_solve(
+            field, dxs, cg_stats = _compiled_lattice_solve(
                 cfg, spec, phase_key, dense_prior=dense_unet)(
                 self.network.params, xs_d, ms_d, c0_d, dest_d,
                 scp_d, scg_d, sc0p_d, sc0g_d, grp_d, grc_d, grd_d,
@@ -767,7 +789,8 @@ class Reconstructor:
             return HostField(
                 field, cfg, dec_grids, dec_caps, cfg.adaptive_depth,
                 udf_host=grids if cfg.udf_enabled else None,
-                udf_caps=caps, lattice_ctx=ctx)
+                udf_caps=caps, lattice_ctx=ctx,
+                solver_stats=_check_solver_stats(cg_stats, cfg))
 
         # ---- sparse fallback (huge bboxes / NKSR_LATTICE=0) -------------
         # solve supports live on the DECODER hierarchy

@@ -101,3 +101,34 @@ def test_joins_match_searchsorted():
     ref = np.where(keys[pc] == q, pc, -1).astype(np.int32)
     np.testing.assert_array_equal(sorted_join(keys, q), ref)
     np.testing.assert_array_equal(keysearch(keys, q), ref)
+
+
+def test_fused_key_ops_match_numpy():
+    """pack_floor/half/unpack/minmax fused passes == the numpy oracles
+    they replace in the host planner (bit-exact, incl. the f32
+    division + floor rounding and negative-coordinate halving)."""
+    from nksr_tpu.core import host_build as HB
+    from nksr_tpu.native import (coord_minmax, half_keys,
+                                 pack_floor_keys, unpack_keys)
+    rng = np.random.default_rng(7)
+    xyz = rng.uniform(-60, 60, (50000, 3)).astype(np.float32)
+    for vs in (0.1, 0.07, 1.3):
+        ref = HB.pack64(np.floor(xyz / vs).astype(np.int64))
+        got = pack_floor_keys(xyz, vs)
+        if got is None:   # no native lib in this environment
+            pytest.skip("native lib unavailable")
+        np.testing.assert_array_equal(ref, got)
+    keys = ref
+    b = np.int64(1 << 20)
+    m = np.int64((1 << 21) - 1)
+    i = (keys >> 42) - b
+    j = ((keys >> 21) & m) - b
+    k = (keys & m) - b
+    ref_h = ((((i >> 1) + b) << 42) | (((j >> 1) + b) << 21)
+             | ((k >> 1) + b))
+    np.testing.assert_array_equal(ref_h, half_keys(keys))
+    c = unpack_keys(keys)
+    np.testing.assert_array_equal(np.stack([i, j, k], -1), c)
+    mn, mx = coord_minmax(c)
+    np.testing.assert_array_equal(mn, c.min(0))
+    np.testing.assert_array_equal(mx, c.max(0))

@@ -191,10 +191,23 @@ class TestDenseUNet:
 
     def test_dense_unet_reconstruct_parity(self, monkeypatch):
         """Reconstructor with NKSR_DENSE_UNET=1 must produce the same
-        field as the gather-conv path (same weights, same solve)."""
+        field as the gather-conv path (same weights, same solve).
+
+        The comparison is only meaningful between solves that PROVABLY
+        reached ``solver_tol`` (asserted below via the new SolverStats):
+        at an unconverged operating point the returned solution is a
+        trajectory artifact — two f32 reduction orders of the SAME
+        system differed by 3.8% in field value (the round-4 regression
+        bisected to commit 20e7e8d was exactly that, not a math bug).
+        The primal formulation stagnates at rel_res ~3e-3 in f32 (its
+        Jacobi-scaled kappa ~1e5 puts the f32 CG floor there), so the
+        pin rides the DUAL (row-space) formulation, whose Gram spectrum
+        lets CG genuinely hit 1e-4 (~300 iters here).  Converged, the
+        engines agree to ~1e-4."""
         from nksr_tpu import Reconstructor
-        cfg = dataclasses.replace(CFG, solver_max_iters=40,
-                                  solver_tol=1e-5)
+        cfg = dataclasses.replace(CFG, solver_max_iters=500,
+                                  solver_tol=1e-4,
+                                  solver_formulation="dual")
         xyz, nrm = sphere_points(1200, r=0.5, seed=3)
         probe = np.asarray(sphere_points(150, r=0.45, seed=4)[0])
         recon = Reconstructor(config=cfg)
@@ -209,6 +222,12 @@ class TestDenseUNet:
                                detail_level=None, structure="splat")
         assert f1.lattice_ctx is not None
         v1 = np.asarray(f1.evaluate_f(probe).value)
+
+        # the comparison is only meaningful between CONVERGED solves
+        assert f0.solver_stats is not None and f0.solver_stats.converged, \
+            f0.solver_stats
+        assert f1.solver_stats is not None and f1.solver_stats.converged, \
+            f1.solver_stats
 
         scale = np.abs(v0).max() + 1e-9
         assert np.abs(v1 - v0).max() / scale < 5e-3, \
