@@ -144,14 +144,20 @@ def main():
             sst = os.stat(scene_ckpt)
             extra["scene_ckpt"] = scene_ckpt
             extra["scene_ckpt_mtime"] = int(sst.st_mtime)
+            # same discipline as the splat headline: one warmup pass
+            # (compiles) then >=2 timed steady laps — min() over a set
+            # that includes the compile lap effectively measured ONE
+            # steady lap (round-4 verdict: the driver-captured number
+            # was half the steady-state claim)
             reps_p = []
-            for _ in range(2):   # first pass compiles
+            for i in range(3):
                 t0 = time.perf_counter()
                 fp = rp.reconstruct(xyz, nrm, structure="predicted", **kw)
                 drain(fp.alpha)
                 t1 = time.perf_counter()
                 mp = fp.extract_dual_mesh(mise_iter=1)
-                reps_p.append((t1 - t0, time.perf_counter() - t1))
+                if i > 0:   # lap 0 is the compile warmup
+                    reps_p.append((t1 - t0, time.perf_counter() - t1))
                 extra["predicted_mesh_verts"] = int(mp.v.shape[0])
                 fp = mp = None
             tr_p = min(r[0] for r in reps_p)
@@ -201,13 +207,14 @@ def main():
                        voxel_size=float(rcfg["voxel_size"]),
                        solver_tol=1e-4, solver_max_iters=16)
             reps_p = []
-            for _ in range(2):   # first pass compiles
+            for i in range(3):   # lap 0 is the compile warmup
                 t0 = time.perf_counter()
                 fp = rp.reconstruct(xp_, nrm_p, structure="predicted",
                                     **kwp)
                 drain(fp.alpha)
                 mp = fp.extract_dual_mesh(mise_iter=1)
-                reps_p.append(time.perf_counter() - t0)
+                if i > 0:
+                    reps_p.append(time.perf_counter() - t0)
                 extra["predicted_mesh_verts"] = int(mp.v.shape[0])
                 fp = mp = None
             extra["predicted_pts_per_s"] = round(np_ / min(reps_p), 1)

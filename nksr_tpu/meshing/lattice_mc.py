@@ -89,8 +89,16 @@ def _next_cap(n: int, lo: int = 4096) -> int:
 
 
 @functools.lru_cache(maxsize=16)
-def _candidate_fn(spec, f: int):
-    """jit 1: candidate-cell mask + corner count (dense shifts only)."""
+def _candidate_fn(spec, f: int, cell_x_max: Optional[int] = None,
+                  cell_x_min: int = 0):
+    """jit 1: candidate-cell mask + corner count (dense shifts only).
+
+    ``cell_x_min``/``cell_x_max``: keep only candidate cells with local
+    fine x in [cell_x_min, cell_x_max] (sharded meshing: a slab
+    enumerates the cells whose every input is locally exact — its own
+    extent shifted one plane right of the slab start, plus the +1
+    duplicate plane; planes beyond exist only to supply exact values —
+    parallel/mesh_shard.py)."""
     X, Y, Z = spec.dims[0]
 
     def fn(mask0):
@@ -107,6 +115,12 @@ def _candidate_fn(spec, f: int):
             d_neg[ax] = -1
             dil = dil | _shift(dil, tuple(d_pos), False) \
                 | _shift(dil, tuple(d_neg), False)
+        if cell_x_max is not None or cell_x_min:
+            ax = jnp.arange(X * f)
+            keep = ax >= cell_x_min
+            if cell_x_max is not None:
+                keep = keep & (ax <= cell_x_max)
+            dil = dil & keep[:, None, None]
         # corner grid ((Xf+1)^3): corner c is used by cells c-offs
         cg = jnp.zeros((X * f + 1, Y * f + 1, Z * f + 1), bool)
         cg = cg.at[:-1, :-1, :-1].set(dil)
@@ -151,9 +165,16 @@ def _corner_eval_fn(spec, f: int, cap_c: int, voxel_size: float,
 
 
 @functools.lru_cache(maxsize=32)
-def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
+def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float,
+                 quad_x_min: int = 0):
     """jit 3: crossing cells, dual vertices, quad lists — dense shifts +
-    compactions, no joins."""
+    compactions, no joins.
+
+    ``quad_x_min``: restrict QUAD bases to local fine x >= quad_x_min
+    (sharded meshing: a quad's BASE is the max of its 4 cells — cells
+    sit at base MINUS the offsets — so a slab owns quads based in its
+    own extent and the -1 duplicate vertex plane resolves cross-seam
+    references — parallel/mesh_shard.py)."""
     X, Y, Z = spec.dims[0]
     Xf, Yf, Zf = X * f, Y * f, Z * f
     s_f = voxel_size / f
@@ -243,6 +264,8 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
             lanes4 = [lane_of[tuple(int(v) for v in off)]
                       for off in _QUAD_VOX_OFFS[a]]
             ok4 = live_v & (s_base != sa)
+            if quad_x_min:
+                ok4 = ok4 & (cc[:, 0] >= quad_x_min)
             for ln in lanes4:
                 ok4 = ok4 & ((rows[:, ln] >> 4) & 1).astype(bool)
             nq = jnp.sum(ok4.astype(jnp.int32))
@@ -256,7 +279,7 @@ def _topology_fn(spec, f: int, cap_v: int, cap_q: int, voxel_size: float):
             flips.append(flip & liveq)
             nqs.append(nq)
         return (verts, vcenters, n_verts, jnp.stack(quads),
-                jnp.stack(flips), jnp.stack(nqs))
+                jnp.stack(flips), jnp.stack(nqs), cc)
     return jax.jit(fn)
 
 
@@ -334,13 +357,13 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
     # crossing count for capacity planning (cheap dense reduction)
     cap_v = _next_cap(cap_c // 4)
     cap_q = _next_cap(cap_c // 4)
-    verts, centers, n_verts, quads, flips, nqs = _topology_fn(
+    verts, centers, n_verts, quads, flips, nqs, _ = _topology_fn(
         spec, f, cap_v, cap_q, ctx.voxel_size)(v_dense, cand, origins)
     nv = int(n_verts)
     nqs = np.asarray(nqs)
     if nv > cap_v or int(nqs.max()) > cap_q:
         cap_q = _next_cap(max(4 * nv, int(nqs.max())))
-        verts, centers, n_verts, quads, flips, nqs = _topology_fn(
+        verts, centers, n_verts, quads, flips, nqs, _ = _topology_fn(
             spec, f, _next_cap(nv), cap_q,
             ctx.voxel_size)(v_dense, cand, origins)
         nv = int(n_verts)

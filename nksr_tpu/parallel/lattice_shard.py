@@ -262,14 +262,21 @@ def sharded_lattice_solve(mesh: Mesh, splan: ShardedPlan, interp_params,
                           basis_features, gr_targets, voxel_size: float,
                           pos_weight: float, normal_weight: float,
                           reg_weight: float, tol: float, max_iters: int,
-                          approx_grad: bool = False):
+                          approx_grad: bool = False,
+                          return_slab_xs: bool = False):
     """Distributed PCG over the slab-sharded lattice.
 
     ``basis_features``/``gr_targets``: GLOBAL per-depth arrays
     (replicated); ownership gathers are per-device via the plan's src
     index tables.  Returns global per-depth flat coefficients
     (cap_d * k,), identical in math to fields/lattice.lattice_solve.
-    """
+
+    ``return_slab_xs``: additionally return the per-slab packed dense
+    coefficient lattices (per depth, leading device axis, slab-only
+    extent (slab_x[d] * Y * Z * k,)) so sharded mesh extraction
+    (parallel/mesh_shard.py) can consume the solution WITHOUT ever
+    materializing the global lattice on one device.  Return becomes
+    (alphas_parts, xs_parts)."""
     spec_l = splan.spec_local
     depth, k = spec_l.depth, spec_l.k
     n = splan.n_shards
@@ -283,7 +290,8 @@ def sharded_lattice_solve(mesh: Mesh, splan: ShardedPlan, interp_params,
                   tuple(PS(AXIS) for _ in range(depth)),
                   tuple(PS(AXIS) for _ in range(depth)),
                   tuple(PS(AXIS) for _ in range(depth))),
-        out_specs=tuple(PS(AXIS) for _ in range(depth)),
+        out_specs=(tuple(PS(AXIS) for _ in range(depth)),
+                   tuple(PS(AXIS) for _ in range(depth))),
         check_vma=False)
     def solve(interp_params, basis_global, gr_targets_global,
               xyz, mask, cell0, dest, slot_cells_pt,
@@ -411,9 +419,9 @@ def sharded_lattice_solve(mesh: Mesh, splan: ShardedPlan, interp_params,
             rows = jnp.take(xs[d].reshape(-1, k), vc[d], axis=0)
             rows = jnp.where(va[d][:, None], rows, 0.0)
             alphas.append(rows[None])          # restore sharded axis
-        return tuple(alphas)
+        return tuple(alphas), tuple(x[None] for x in xs)
 
-    parts = solve(
+    parts, xs_parts = solve(
         interp_params, basis_features, gr_targets,
         jnp.asarray(splan.xyz), jnp.asarray(splan.mask),
         jnp.asarray(splan.cell0), jnp.asarray(splan.dest),
@@ -424,6 +432,8 @@ def sharded_lattice_solve(mesh: Mesh, splan: ShardedPlan, interp_params,
         tuple(jnp.asarray(v) for v in splan.vox_cell_loc),
         tuple(jnp.asarray(v) for v in splan.vox_active_loc),
         tuple(jnp.asarray(v) for v in splan.vox_src))
+    if return_slab_xs:
+        return parts, xs_parts
     return parts
 
 

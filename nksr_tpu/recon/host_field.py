@@ -96,6 +96,10 @@ class HostField:
         self.lattice_ctx = lattice_ctx
         # CG convergence diagnostics (SolverStats; lattice engine only)
         self.solver_stats = solver_stats
+        # sharded-extraction context (set by the sharded reconstruct
+        # path): mesh/plan/per-slab solve coefficients for
+        # parallel/mesh_shard.extract_dual_mesh_sharded
+        self.sharded_mesh = None
 
     def __getattr__(self, name):
         return getattr(self.field, name)
@@ -183,6 +187,26 @@ class HostField:
         memory knob of the reference signature,
         /root/reference/examples/recons_colored_mesh.py:30)."""
         import os
+        if self.sharded_mesh is not None \
+                and os.environ.get("NKSR_SHARDED_MC", "1") == "1":
+            # per-slab extraction over the solve's device mesh: the
+            # global fine lattice never lands on one device
+            from ..parallel.mesh_shard import extract_dual_mesh_sharded
+            sm = self.sharded_mesh
+            with sm["mesh"]:
+                m = extract_dual_mesh_sharded(
+                    sm["mesh"], sm["plan"], sm["splan"],
+                    sm["interp_params"], sm["basis"], sm["xs_parts"],
+                    sm["voxel_size"], sm["compute_dtype"],
+                    sm["approx_grad"], mise_iter=mise_iter,
+                    grid_upsample=grid_upsample)
+            if m is not None:
+                return m
+            from ..utils.profiling import log_engine_demotion
+            log_engine_demotion(
+                "sharded-dual-mc", "dense-dual-mc",
+                "slab too narrow for the 2-plane halo or per-slab fine "
+                "grid over budget")
         if os.environ.get("NKSR_DENSE_MC", "1") == "1":
             # dense-lattice dual MC: topology on device as shifts +
             # compactions (meshing/lattice_mc.py); None -> inapplicable

@@ -907,7 +907,7 @@ class Reconstructor:
         tm.lap("gr targets")
 
         with mesh:
-            parts = LS.sharded_lattice_solve(
+            parts, slab_xs = LS.sharded_lattice_solve(
                 mesh, splan,
                 self.network.params["params"]["interpolators"],
                 basis_f, gr_t,
@@ -915,7 +915,8 @@ class Reconstructor:
                 normal_weight=cfg.normal_weight,
                 reg_weight=cfg.reg_weight, tol=cfg.solver_tol,
                 max_iters=cfg.solver_max_iters,
-                approx_grad=cfg.approx_kernel_grad)
+                approx_grad=cfg.approx_kernel_grad,
+                return_slab_xs=True)
         alphas = LS.gather_alphas(plan, splan, parts)
         tm.lap("sharded solve + gather")
 
@@ -940,8 +941,19 @@ class Reconstructor:
             basis_f, field.alpha, vox_cell, vox_active,
             cfg.voxel_size, cfg.approx_kernel_grad,
             compute_dtype=cfg.solver_compute_dtype)
-        return HostField(field, cfg, grids, caps, cfg.adaptive_depth,
-                         lattice_ctx=ctx)
+        hf = HostField(field, cfg, grids, caps, cfg.adaptive_depth,
+                       lattice_ctx=ctx)
+        # sharded mesh extraction rides the per-slab solve coefficients
+        # (parallel/mesh_shard.py): the global FINE lattice is never
+        # materialized on one device
+        hf.sharded_mesh = dict(
+            mesh=mesh, plan=plan, splan=splan,
+            interp_params=self.network.params["params"]["interpolators"],
+            basis=basis_f, xs_parts=slab_xs,
+            voxel_size=cfg.voxel_size,
+            compute_dtype=resolve_solver_dtype(cfg.solver_compute_dtype),
+            approx_grad=cfg.approx_kernel_grad)
+        return hf
 
     # -------------------------------------------------------------- helpers
     def _pick_voxel_size(self, xyz: np.ndarray,

@@ -402,3 +402,65 @@ class TestShardedChunks:
         # the legitimate per-chunk-vs-global solve difference (~2e-2)
         np.testing.assert_allclose(m_sh.v, m_ser.v, atol=1e-2)
         assert m_sh.v[:, 0].max() > 1.7
+
+
+class TestShardedMesh:
+    def test_sharded_extraction_matches_single_device(self):
+        """Slab-sharded dual-MC (parallel/mesh_shard.py): extraction
+        rides the per-slab solve coefficients, never materializing the
+        global fine lattice on one device; vertex SET and face count
+        must match the single-device dense mesher (the duplicate-plane
+        seam join makes vertex positions agree to float noise).
+        Reference scale story: solve+extract end-to-end,
+        /root/reference/NKSR-USAGE.md:141-170."""
+        from nksr_tpu import Reconstructor
+
+        n_dev = len(jax.devices())
+        mesh = PP.make_mesh(n_dev)
+        rng = np.random.default_rng(11)
+        n = 1500
+        xy = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        x = xy[:, 0] * 5.0
+        z = 0.3 * np.sin(1.7 * x) * np.cos(2.5 * xy[:, 1])
+        xyz = np.stack([x, xy[:, 1], z], 1).astype(np.float32)
+        dx = 0.51 * np.cos(1.7 * x) * np.cos(2.5 * xy[:, 1])
+        dy = -0.75 * np.sin(1.7 * x) * np.sin(2.5 * xy[:, 1])
+        nrm = np.stack([-dx, -dy, np.ones(n, np.float32)], 1)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=80,
+                               solver_tol=1e-7)
+        recon = Reconstructor(config=cfg)
+        kw = dict(voxel_size=0.1, detail_level=None, structure="splat")
+        hf_n = recon.reconstruct(xyz, nrm, mesh=mesh, **kw)
+        assert hf_n.sharded_mesh is not None
+
+        # the sharded mesher must actually run (not demote): call it
+        # directly so a None return fails loudly
+        from nksr_tpu.parallel.mesh_shard import extract_dual_mesh_sharded
+        sm = hf_n.sharded_mesh
+        with sm["mesh"]:
+            mn = extract_dual_mesh_sharded(
+                sm["mesh"], sm["plan"], sm["splan"], sm["interp_params"],
+                sm["basis"], sm["xs_parts"], sm["voxel_size"],
+                sm["compute_dtype"], sm["approx_grad"], mise_iter=1)
+        assert mn is not None
+
+        # single-device extraction of the SAME solution (the gathered
+        # alphas ride hf_n.lattice_ctx): both meshers see an identical
+        # field, so vertex/face SETS must match exactly and positions to
+        # float noise — this isolates mesher parity from solver noise
+        os.environ["NKSR_SHARDED_MC"] = "0"
+        try:
+            m1 = hf_n.extract_dual_mesh(mise_iter=1)
+        finally:
+            os.environ.pop("NKSR_SHARDED_MC", None)
+
+        assert len(mn.v) == len(m1.v), (len(mn.v), len(m1.v))
+        assert len(mn.f) == len(m1.f), (len(mn.f), len(m1.f))
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(m1.v).query(mn.v)
+        assert d.max() < 1e-4, float(d.max())
+        d2, _ = cKDTree(mn.v).query(m1.v)
+        assert d2.max() < 1e-4, float(d2.max())
