@@ -537,7 +537,7 @@ class Reconstructor:
             # no chunk_size: shard ONE scene's lattice into x-slabs over
             # the device mesh, halos over ICI (SURVEY §5 north star;
             # reference chunked-engine analog NKSR-USAGE.md:88-126)
-            if cfg.structure_mode == "splat":
+            if cfg.structure_mode in ("splat", "adaptive"):
                 return self._reconstruct_sharded(cfg, xyz, xyz_p, mask,
                                                  feat, normal, mesh)
             if cfg.structure_mode == "predicted":
@@ -858,9 +858,27 @@ class Reconstructor:
         caps = tuple(max(_next_pow2(int(len(g.keys) * 1.05)), 512)
                      for g in grids)
         cfg = dataclasses.replace(cfg, capacities=caps)
+        if cfg.structure_mode == "adaptive":
+            # pruned decoder hierarchy (normal-variation builder) — the
+            # sharded solve/mesh ride it exactly like the host path
+            # (reference builder: /root/reference/models/nksr_net.py:175-179)
+            assert normal is not None, \
+                "adaptive structure needs input normals"
+            dec_grids = HB.build_adaptive_grids(
+                xyz, normal, cfg.voxel_size, cfg.tree_depth,
+                tau=cfg.adaptive_tau, adaptive_depth=cfg.adaptive_depth,
+                splat=(grids, orders))
+            dec_caps = tuple(max(_next_pow2(int(len(g.keys) * 1.05)),
+                                 512) for g in dec_grids)
+        else:
+            dec_grids, dec_caps = grids, caps
         out = LS.plan_sharded(grids, caps, xyz, orders[0][0], orders[0][1],
                               cfg.voxel_size, cfg.tree_depth,
-                              cfg.adaptive_depth, n_dev, k=cfg.kernel_dim)
+                              cfg.adaptive_depth, n_dev, k=cfg.kernel_dim,
+                              dec_grids=None if dec_grids is grids
+                              else dec_grids,
+                              dec_caps=None if dec_grids is grids
+                              else dec_caps)
         if out is None:
             log_engine_demotion("sharded-svh-solve", "single-device",
                                 "aligned lattice exceeds the dense budget")
@@ -878,7 +896,8 @@ class Reconstructor:
                                           normal=normal)
         self._last_unet_engine = "dense"
         n, cap_pts = xyz.shape[0], xyz_p.shape[0]
-        dt = DU.build_tables(spec, plan.origins, grids, caps, grids, caps)
+        dt = DU.build_tables(spec, plan.origins, grids, caps,
+                             dec_grids, dec_caps)
         perm = orders[0][1]
         perm_p = np.concatenate(
             [perm, np.arange(n, cap_pts)]).astype(np.int32)
@@ -920,7 +939,7 @@ class Reconstructor:
         alphas = LS.gather_alphas(plan, splan, parts)
         tm.lap("sharded solve + gather")
 
-        dec_svh = HB.to_device_svh(grids, caps, cfg.voxel_size)
+        dec_svh = HB.to_device_svh(dec_grids, dec_caps, cfg.voxel_size)
         interp = InterpolatorFn(
             params={"params":
                     self.network.params["params"]["interpolators"]},
@@ -941,8 +960,8 @@ class Reconstructor:
             basis_f, field.alpha, vox_cell, vox_active,
             cfg.voxel_size, cfg.approx_kernel_grad,
             compute_dtype=cfg.solver_compute_dtype)
-        hf = HostField(field, cfg, grids, caps, cfg.adaptive_depth,
-                       lattice_ctx=ctx)
+        hf = HostField(field, cfg, dec_grids, dec_caps,
+                       cfg.adaptive_depth, lattice_ctx=ctx)
         # sharded mesh extraction rides the per-slab solve coefficients
         # (parallel/mesh_shard.py): the global FINE lattice is never
         # materialized on one device

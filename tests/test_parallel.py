@@ -464,3 +464,63 @@ class TestShardedMesh:
         assert d.max() < 1e-4, float(d.max())
         d2, _ = cKDTree(mn.v).query(m1.v)
         assert d2.max() < 1e-4, float(d2.max())
+
+    def test_sharded_adaptive_matches_single_device(self):
+        """structure='adaptive' (the reference's normal-variation
+        builder, /root/reference/models/nksr_net.py:175-179) rides the
+        sharded solve + sharded mesher like splat — field and mesh must
+        agree with the single-device adaptive reconstruction."""
+        from nksr_tpu import Reconstructor
+
+        n_dev = len(jax.devices())
+        mesh = PP.make_mesh(n_dev)
+        rng = np.random.default_rng(13)
+        n = 1500
+        xy = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        x = xy[:, 0] * 4.0
+        # flat in half the domain so the adaptive builder actually prunes
+        z = np.where(x < 2.0, 0.3 * np.sin(2.2 * x) * np.cos(
+            2.0 * xy[:, 1]), 0.0).astype(np.float32)
+        xyz = np.stack([x, xy[:, 1], z], 1).astype(np.float32)
+        dx = np.where(x < 2.0, 0.66 * np.cos(2.2 * x) * np.cos(
+            2.0 * xy[:, 1]), 0.0)
+        dy = np.where(x < 2.0, -0.6 * np.sin(2.2 * x) * np.sin(
+            2.0 * xy[:, 1]), 0.0)
+        nrm = np.stack([-dx, -dy, np.ones(n)], 1).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=80,
+                               solver_tol=1e-7)
+        recon = Reconstructor(config=cfg)
+        kw = dict(voxel_size=0.1, detail_level=None,
+                  structure="adaptive")
+        hf_1 = recon.reconstruct(xyz, nrm, **kw)
+        hf_n = recon.reconstruct(xyz, nrm, mesh=mesh, **kw)
+        assert hf_n.sharded_mesh is not None   # did not demote
+
+        probes = (xyz[rng.integers(0, n, 512)]
+                  + rng.normal(0, 0.05, (512, 3))).astype(np.float32)
+        v1 = hf_1.evaluate_f(probes).value
+        vn = hf_n.evaluate_f(probes).value
+        scale = max(float(np.abs(v1).max()), 1e-9)
+        err = np.abs(vn - v1)
+        assert np.quantile(err, 0.95) < 5e-3 * scale, \
+            (float(np.quantile(err, 0.95)), scale)
+        np.testing.assert_allclose(vn, v1, atol=2e-2 * scale)
+
+        # mesh parity on the SAME solution (sharded vs single-device
+        # extraction of hf_n): exact — solver noise between the two
+        # SOLVES would otherwise flip threshold ties on the flat half,
+        # where the field is ~0 by construction
+        mn = hf_n.extract_dual_mesh(mise_iter=1)
+        os.environ["NKSR_SHARDED_MC"] = "0"
+        try:
+            m1 = hf_n.extract_dual_mesh(mise_iter=1)
+        finally:
+            os.environ.pop("NKSR_SHARDED_MC", None)
+        assert len(mn.v) == len(m1.v), (len(mn.v), len(m1.v))
+        assert len(mn.f) == len(m1.f), (len(mn.f), len(m1.f))
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(m1.v).query(mn.v)
+        assert d.max() < 1e-4, float(d.max())
