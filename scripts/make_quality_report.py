@@ -101,6 +101,10 @@ def main():
                                        "trained/predicted")
     results["trained/splat"] = run(trained.params, "splat",
                                    "trained/splat")
+    # the reference's third structure builder
+    # (build_adaptive_normal_variation, models/nksr_net.py:175-179)
+    results["trained/adaptive"] = run(trained.params, "adaptive",
+                                      "trained/adaptive")
     results["trained/predicted+noise"] = run(
         trained.params, "predicted", "trained/predicted+noise",
         noise=noise)
@@ -116,6 +120,14 @@ def main():
         results["noise-trained/splat+noise"] = run(
             ntrained.params, "splat", "noise-trained/splat+noise",
             noise=noise)
+        # CLEAN-input rows for the noise-trained model: the reference
+        # evaluates its noise recipes both ways
+        # (configs/shapenet/train_3k_noise.yaml) — these quantify what
+        # noise training costs on clean data
+        results["noise-trained/predicted"] = run(
+            ntrained.params, "predicted", "noise-trained/predicted")
+        results["noise-trained/splat"] = run(
+            ntrained.params, "splat", "noise-trained/splat")
     untrained = T.init_state(pcfg, tcfg, jax.random.PRNGKey(0))
     results["untrained/splat"] = run(untrained.params, "splat",
                                      "untrained/splat")
