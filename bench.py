@@ -115,6 +115,23 @@ def main():
 
     extra = {"unet": getattr(recon, "_last_unet_engine", "unknown")}
 
+    # adaptive structure (the reference's normal-variation builder,
+    # models/nksr_net.py:175-179): one warmed lap — the terrain is
+    # everywhere-curved so the hierarchy stays near-full; the row mainly
+    # proves the route is benched, not a different speed class
+    if os.environ.get("NKSR_BENCH_ADAPTIVE", "1") == "1":
+        try:
+            _time_once(recon, xyz, nrm, drain, "adaptive", **kw)  # compile
+            tr_a, tm_a, ma = _time_once(recon, xyz, nrm, drain,
+                                        "adaptive", **kw)
+            extra["adaptive_pts_per_s"] = round(n / (tr_a + tm_a), 1)
+            extra["adaptive_reconstruct_s"] = round(tr_a, 2)
+            extra["adaptive_mesh_s"] = round(tm_a, 2)
+            extra["adaptive_mesh_verts"] = int(ma.v.shape[0])
+            ma = None
+        except Exception as e:
+            extra["adaptive_error"] = str(e)[:200]
+
     # ---- predicted route at FULL bench scale (the reference's default
     # inference workload, examples/recons_waymo.py:30-37): the scene
     # checkpoint is trained at the bench operating point (voxel 0.1,
