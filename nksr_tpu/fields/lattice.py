@@ -519,9 +519,12 @@ def _strip_level_adj(spec: LatticeSpec, z: jnp.ndarray,
     strides = spec.corner_strides(d)
     extra = (strides[-1] * v) // 128 + 2
     f32 = jnp.float32
-    uu_t = jnp.asarray(_place_perm_U(v, d, spec.lanes).T, f32)
+    # one-hot operands in z's own dtype: the "matmul" is exact element
+    # selection in any dtype, and a f32 operand against a bf16 z would
+    # force a full-size convert of the z stream
+    uu_t = jnp.asarray(_place_perm_U(v, d, spec.lanes).T, z.dtype)
     mm_t = jnp.asarray(_corner_perm_M(v).T, f32)
-    pp = (z.reshape(n // c_o, c_o * spec.lanes) @ uu_t)
+    pp = (z.reshape(n // c_o, c_o * spec.lanes) @ uu_t).astype(f32)
     h = pp.reshape(t_rows, 1024) @ mm_t
     out = jnp.zeros((t_rows + extra, 128), f32)
     for idx, s in enumerate(strides):
@@ -698,14 +701,23 @@ def _av0_cascade(spec: LatticeSpec, xs: Tuple[jnp.ndarray, ...],
     return acc                                  # lanes [d0 | d1 | ... ]
 
 
-def _av0_adjoint_cascade(spec: LatticeSpec,
-                         z0: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-    """Adjoint of ``_av0_cascade`` (f32): (cells_0, depth*8k) -> per-depth
+def _av0_adjoint_cascade(spec: LatticeSpec, z0: jnp.ndarray,
+                         stream_dtype=jnp.float32
+                         ) -> Tuple[jnp.ndarray, ...]:
+    """Adjoint of ``_av0_cascade``: (cells_0, depth*8k) -> per-depth
     PACKED flat coefficient buffers (n_d*k/128, 128).  Strips each
     level's lane block via the transposed one-hot matmuls and downsamples
-    one step."""
+    one step.
+
+    ``stream_dtype``: dtype of the cascade's big streamed buffers (the
+    depth-0 z-buffer and its ``_down2`` children).  The per-depth outputs
+    stay f32 (the strip matmuls accumulate in f32 on the MXU), so bf16
+    here halves the dominant HBM streams at the cost of rounding the
+    child sums — acceptable inside the CG matvec, whose f32 arithmetic
+    already floors at rel_res ~3e-3 (DESIGN.md #17); the one-time
+    Jacobi-diagonal builder keeps f32."""
     depth = spec.depth
-    acc = z0.astype(jnp.float32)
+    acc = z0.astype(stream_dtype)
     outs = []
     for d in range(depth):
         outs.append(_strip_level_adj(spec, acc, d))
@@ -1193,7 +1205,11 @@ def lattice_solve(spec: LatticeSpec, interp,
     elif cascade_engine == "xla-conv":
         adj_cascade = functools.partial(_av0_adjoint_cascade_conv, spec)
     else:
-        adj_cascade = functools.partial(_av0_adjoint_cascade, spec)
+        import os as _os_adj
+        adj_stream = cdt if _os_adj.environ.get(
+            "NKSR_ADJ_BF16", "0") == "1" else jnp.float32
+        adj_cascade = functools.partial(_av0_adjoint_cascade, spec,
+                                        stream_dtype=adj_stream)
 
     def apply_A(xs):
         """rows = A x for both row families."""

@@ -134,7 +134,7 @@ def _candidate_fn(spec, f: int, cell_x_max: Optional[int] = None,
 @functools.lru_cache(maxsize=32)
 def _corner_eval_fn(spec, f: int, cap_c: int, voxel_size: float,
                     compute_dtype: str, approx_grad: bool,
-                    chunk: int = 1 << 17):
+                    chunk: int = 1 << 18):
     """jit 2: compact candidate corners, evaluate f_bar there, scatter
     into the dense corner-value buffer (default -s everywhere else)."""
     from ..fields.lattice_eval import _eval_fn
@@ -342,7 +342,7 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
     cap_c = _next_cap(int(n_c))
     tm.lap(f"dmc: candidates ({int(n_c)} corners)")
 
-    chunk = 1 << 17
+    chunk = 1 << 18
     if max_points is not None:
         c = 1 << max(int(np.log2(max(int(max_points), 1))), 0)
         while cap_c % c:
@@ -369,7 +369,11 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
         nv = int(n_verts)
         nqs = np.asarray(nqs)
     # device-slice to the live counts BEFORE fetching: the full
-    # capacity-sized buffers would cross the device->host link
+    # capacity-sized buffers would cross the device->host link.  The
+    # fetch happens HERE, before the newton dispatch: device->host
+    # transfers that overlap running compute collapse to a few MB/s on
+    # this tunneled platform (a fetch-after-newton-dispatch variant
+    # measured 7-8 s for these ~25 MB vs ~0.7 s idle)
     quads = [np.asarray(quads[a, :int(nqs[a])]) for a in range(3)]
     flips = [np.asarray(flips[a, :int(nqs[a])]) for a in range(3)]
     tm.lap(f"dmc: topology ({nv} verts)")

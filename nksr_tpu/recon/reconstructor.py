@@ -629,6 +629,43 @@ class Reconstructor:
             from ..models import dense_unet as DU
             from ..models.network import NetworkOutput
             tm.lap("lattice plan (pre-net)")
+            # pre-upload the solve's plan arrays (~100 MB) ON A THREAD
+            # while the main thread builds the dense tables / sorted
+            # point arrays: the device is still idle (nothing
+            # dispatched), so the transfer rides the tunnel at full
+            # speed (device_put serializes with running compute on this
+            # platform: 0.23 s idle vs 1.94 s mid-compute for 67 MB),
+            # and the ~0.3 s of host prep below now overlaps it
+            import threading
+            _upl: dict = {}
+
+            def _upload_solve_arrays():
+                try:
+                    ncap_ = plan.spec.n_pts_cap
+                    xs_h = np.zeros((ncap_, 3), np.float32)
+                    xs_h[:n] = xyz[plan.pt_perm]
+                    ms_h = np.zeros(ncap_, bool)
+                    ms_h[:n] = True
+                    c0_h = np.zeros((ncap_, 3), np.int32)
+                    c0_h[:n] = plan.pt_cell0
+                    dest_h = np.full(
+                        ncap_, plan.spec.p_rows * plan.spec.s_pt,
+                        np.int32)
+                    dest_h[:n] = plan.pt_dest
+                    _upl["dev"] = jax.device_put(
+                        (xs_h, ms_h, c0_h, dest_h,
+                         plan.slot_cell_pt, plan.slot_cell_gr,
+                         plan.slot_cell0_pt, plan.slot_cell0_gr,
+                         plan.gr_perm, plan.gr_coords, plan.gr_depth,
+                         plan.gr_active, tuple(plan.vox_cell),
+                         tuple(plan.vox_active), xyz_p, mask,
+                         feat if cfg.feature == "normal" else None))
+                except Exception as e:       # surfaced at join
+                    _upl["err"] = e
+
+            _upl_th = threading.Thread(target=_upload_solve_arrays,
+                                       daemon=True)
+            _upl_th.start()
             dt = DU.build_tables(plan.spec, plan.origins, grids, caps,
                                  dec_grids, dec_caps)
             # depth-0-cell-sorted points (reusing the host sort) turn the
@@ -653,31 +690,11 @@ class Reconstructor:
                 plan.spec.dims[0]) + 8
             feat_s = jnp.take(feat, jnp.asarray(perm_p), axis=0) \
                 if feat is not None else None
-            # pre-upload the solve's plan arrays (~100 MB) while the
-            # device is still idle: device_put on this tunneled platform
-            # blocks the host AND serializes with running compute
-            # (measured 67 MB: 0.23 s idle vs 1.94 s mid-compute), so
-            # uploading after the network dispatch cost ~2 s of the
-            # solve lap at the 1M-point bench
-            ncap = plan.spec.n_pts_cap
-            xs_h = np.zeros((ncap, 3), np.float32)
-            xs_h[:n] = xyz[plan.pt_perm]
-            ms_h = np.zeros(ncap, bool)
-            ms_h[:n] = True
-            c0_h = np.zeros((ncap, 3), np.int32)
-            c0_h[:n] = plan.pt_cell0
-            dest_h = np.full(ncap, plan.spec.p_rows * plan.spec.s_pt,
-                             np.int32)
-            dest_h[:n] = plan.pt_dest
-            solve_dev = jax.device_put(
-                (xs_h, ms_h, c0_h, dest_h,
-                 plan.slot_cell_pt, plan.slot_cell_gr,
-                 plan.slot_cell0_pt, plan.slot_cell0_gr,
-                 plan.gr_perm, plan.gr_coords, plan.gr_depth,
-                 plan.gr_active, tuple(plan.vox_cell),
-                 tuple(plan.vox_active), xyz_p, mask,
-                 feat if cfg.feature == "normal" else None))
-            tm.lap("solve upload (pre-net)")
+            _upl_th.join()
+            if "err" in _upl:
+                raise _upl["err"]
+            solve_dev = _upl["dev"]
+            tm.lap("solve upload (threaded, pre-net)")
             basis_f, normal_f, struct_f, udf_f = _compiled_dense_unet(
                 cfg, plan.spec, True)(
                 self.network.params, jnp.asarray(plan.origins.astype(
