@@ -139,7 +139,11 @@ def main():
     # meaningful on the bench terrain
     scene_ckpt = os.environ.get("NKSR_BENCH_SCENE_CKPT")
     if scene_ckpt is None:
-        for cand in ("runs/scene_tpu/best.ckpt", "runs/scene_tpu/last.ckpt"):
+        # newest scene-trained checkpoint wins: the round-5
+        # reference-capacity run (f_maps 32 + UDF head) ahead of the
+        # round-4 f_maps-16 run
+        for cand in ("runs/scene_big/best.ckpt", "runs/scene_big/last.ckpt",
+                     "runs/scene_tpu/best.ckpt", "runs/scene_tpu/last.ckpt"):
             if os.path.exists(cand):
                 scene_ckpt = cand
                 break
