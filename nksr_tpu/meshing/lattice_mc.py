@@ -321,12 +321,17 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
     ctx = getattr(hf, "lattice_ctx", None)
     if ctx is None:
         return None
-    # the UDF mask head is evaluated per query on the generic path; the
-    # dense seal below uses the lattice trust mask only
+    # UDF mask head (cfg.udf_enabled models, reference
+    # nksr_net.py:116-130): the host path SEALS the mesh at the mask
+    # boundary (out-of-mask corners read -voxel_size, creating crossings
+    # there); here the mask TRIMS instead — faces with any dual vertex
+    # outside ``level_set - udf(v) > 0`` are dropped after extraction
+    # (one ~1 s vertex wave at 1M-point scale vs ~2-4 s of host support
+    # joins for a 6M-corner seal).  Open rims at the trim boundary are
+    # the documented delta vs the host mesher (PARITY.md).
     mf = getattr(hf.field, "mask_field", None)
-    if getattr(hf, "udf_host", None) is not None and mf is not None \
-            and hasattr(mf, "level_set"):
-        return None
+    has_udf_mask = getattr(hf, "udf_host", None) is not None \
+        and mf is not None and hasattr(mf, "level_set")
     spec = ctx.spec
     f = max(int(grid_upsample), 1) * (2 ** max(int(mise_iter), 0))
     X, Y, Z = spec.dims[0]
@@ -403,6 +408,25 @@ def extract_dual_mesh_dense(hf, mise_iter: int = 0, grid_upsample: int = 1,
             ctx.interp_params, tables, origins, vv, cc)
     verts = np.asarray(verts[:nv])
     tm.lap("dmc: newton")
+
+    if has_udf_mask and nv:
+        from ..core import host_build as HB
+        from ..fields.lattice_eval import _bucket_cap
+        from ..recon.host_field import _udf_mask_fn
+        cap_m = _bucket_cap(nv)       # bucketed shape: compiles reused
+        vp = np.zeros((cap_m, 3), np.float32)
+        vp[:nv] = verts
+        sup = HB.support_indices(hf.udf_host, hf.udf_caps, vp)
+        mv = np.asarray(_udf_mask_fn(hf.cfg)(
+            mf, jnp.asarray(vp),
+            tuple(jnp.asarray(s) for s in sup)))[:nv] > 0
+        kept_q, kept_f = [], []
+        for q, fl in zip(quads, flips):
+            keep = (q >= 0).all(1) & mv[np.clip(q, 0, nv - 1)].all(1)
+            kept_q.append(q[keep])
+            kept_f.append(fl[keep])
+        quads, flips = kept_q, kept_f
+        tm.lap("dmc: udf mask trim")
 
     tris = []
     for a in range(3):

@@ -219,8 +219,8 @@ class HostField:
             from ..utils.profiling import log_engine_demotion
             log_engine_demotion(
                 "dense-dual-mc", "host-mesher",
-                "no lattice context, UDF mask head, or fine grid over "
-                "the dense cell budget")
+                "no lattice context or fine grid over the dense cell "
+                "budget")
         from ..meshing.host_mc import host_extract_dual_mesh
         return host_extract_dual_mesh(self, mise_iter=mise_iter,
                                       grid_upsample=grid_upsample,

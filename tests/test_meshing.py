@@ -145,3 +145,52 @@ class TestDenseLatticeMC:
         class Fake:
             lattice_ctx = None
         assert LM.extract_dual_mesh_dense(Fake()) is None
+
+
+class TestDenseUdfMask:
+    """UDF mask head (cfg.udf_enabled) through the DENSE mesher: the
+    mask now trims faces at extraction instead of demoting the whole
+    mesh to the host path (reference nksr_net.py:116-133 masks the
+    user-facing dual mesh; the host mesher seals at the mask boundary,
+    the dense mesher trims — PARITY.md documents the delta)."""
+
+    def _field(self):
+        from nksr_tpu import Reconstructor
+        from nksr_tpu.models import pipeline as P
+        cfg = P.PipelineConfig(tree_depth=3, f_maps=8, basis_dim=8,
+                               udf_dim=8, solver_max_iters=40,
+                               solver_tol=1e-5, udf_enabled=True)
+        recon = Reconstructor(config=cfg)
+        xyz, nrm = sphere_points(1500, r=0.5, seed=9)
+        hf = recon.reconstruct(xyz, nrm, voxel_size=0.1,
+                               detail_level=None, structure="splat")
+        assert hf.lattice_ctx is not None
+        assert hf.udf_host is not None
+        assert hasattr(hf.field.mask_field, "level_set")
+        return hf
+
+    def test_dense_mesher_runs_with_udf_mask(self):
+        from nksr_tpu.meshing.lattice_mc import extract_dual_mesh_dense
+        hf = self._field()
+        m = extract_dual_mesh_dense(hf, mise_iter=1)
+        assert m is not None, "dense mesher must not demote on UDF mask"
+        # untrained udf head stays near zero -> level_set 2*voxel keeps
+        # the sphere surface
+        assert m.v.shape[0] > 100 and m.f.shape[0] > 100
+        # every surviving face's vertices pass the mask
+        import jax.numpy as jnp
+        from nksr_tpu.core import host_build as HB
+        from nksr_tpu.recon.host_field import _udf_mask_fn
+        sup = HB.support_indices(hf.udf_host, hf.udf_caps, m.v)
+        mv = np.asarray(_udf_mask_fn(hf.cfg)(
+            hf.field.mask_field, jnp.asarray(m.v),
+            tuple(jnp.asarray(s) for s in sup)))
+        assert (mv[np.asarray(m.f).reshape(-1)] > 0).all()
+
+    def test_negative_level_set_trims_everything(self):
+        from nksr_tpu.meshing.lattice_mc import extract_dual_mesh_dense
+        hf = self._field()
+        hf.set_mask_field(hf.field.mask_field.set_level_set(-1.0))
+        m = extract_dual_mesh_dense(hf, mise_iter=1)
+        assert m is not None
+        assert m.f.shape[0] == 0
