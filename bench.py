@@ -114,6 +114,11 @@ def main():
     total = tr + tm
 
     extra = {"unet": getattr(recon, "_last_unet_engine", "unknown")}
+    if err is not None:
+        # make cross-round comparisons self-describing: a fallback lap
+        # measures the sparse-UNet engine, not the headline dense path
+        extra["fallback"] = True
+        extra["fallback_error"] = err[:200]
 
     # adaptive structure (the reference's normal-variation builder,
     # models/nksr_net.py:175-179): one warmed lap — the terrain is
