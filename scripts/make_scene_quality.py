@@ -117,7 +117,10 @@ def main():
                for k in rows[0] if k != "source"} if rows else {}
         results[structure] = (rows, agg)
 
-    terrain = bench_terrain_rows(recon, structures)
+    import os
+    terrain = []
+    if os.environ.get("NKSR_SCENE_TERRAIN", "1") == "1":
+        terrain = bench_terrain_rows(recon, structures)
 
     keys = ["chamfer-L1", "chamfer-L2", "f-score", "f-score-15",
             "f-score-20", "normals", "iou"]
